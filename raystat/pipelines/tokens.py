@@ -1,0 +1,106 @@
+"""Derive the token table from the driver testdata ``documents`` table.
+
+Produces the BASELINE.json:input_hint schema
+``(doc_id: string, tokens: list<int32>, n_tok: int32, source: string)``
+deterministically: whitespace tokens of ``text``, each mapped to
+``crc32(word) % VOCAB`` (stable across processes/versions).  The token
+COUNT (``n_tok``) is SQL-expressible in DuckDB, so windowed
+token-length statistics over this stream have exact SQL oracles; the
+token VALUES are hash-derived and checked by rows-only/pytest paths.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from raystat.extract import event_time_us_from_numeric, numeric_doc_id
+from raystat.fixtures import epoch_len_us
+
+VOCAB = 50257
+_WS = re.compile(r"\S+")
+
+__all__ = ["tokenize_batch", "tokenize_documents", "documents_stream_fixture"]
+
+
+def tokenize_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> token-table rows (vectorized where possible;
+    per-unique-word crc cache keeps the word loop tiny)."""
+    texts = batch["text"].to_pylist()
+    words_per_doc = [_WS.findall(t or "") for t in texts]
+    n_tok = np.array([len(w) for w in words_per_doc], dtype=np.int32)
+    vocab_cache: dict[str, int] = {}
+
+    def tok(w: str) -> int:
+        v = vocab_cache.get(w)
+        if v is None:
+            v = zlib.crc32(w.encode()) % VOCAB
+            vocab_cache[w] = v
+        return v
+
+    flat = np.fromiter(
+        (tok(w) for ws in words_per_doc for w in ws), dtype=np.int32, count=int(n_tok.sum())
+    )
+    offsets = np.zeros(len(texts) + 1, dtype=np.int32)
+    np.cumsum(n_tok, out=offsets[1:])
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_id = np.char.add("doc-", np.char.zfill(ids.astype(str), 12))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": batch["source"],
+        }
+    )
+
+
+def tokenize_documents(sf_dir: str):
+    """Lazy Dataset of token rows derived from ``documents.parquet``."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return ds.map_batches(tokenize_batch, batch_format="pyarrow")
+
+
+def documents_stream_fixture(sf_dir: str, n_epochs: int = 4, root: str = "/tmp/raystat_fixtures") -> str:
+    """Materialize the derived token table as an arrival-partitioned
+    stream (arrival == event epoch; lateness paths are exercised by the
+    synthetic fixture instead).  Cached per sf_dir; returns the dir."""
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(root, f"docs_{tag}_e{n_epochs}")
+    done = os.path.join(out, "_fixture.json")
+    if os.path.exists(done):
+        return out
+    import json
+    import shutil
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(tmp)
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+    tok = tokenize_batch(t)
+    ev_us = event_time_us_from_numeric(numeric_doc_id(tok["doc_id"]))
+    from raystat.extract import T0_US
+
+    epoch = (ev_us - T0_US) // epoch_len_us(n_epochs)
+    for e in np.unique(epoch):
+        d = os.path.join(tmp, f"arrival={int(e)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tok.filter(pa.array(epoch == e)), os.path.join(d, "part-00000.parquet"))
+    with open(os.path.join(tmp, "_fixture.json"), "w") as f:
+        json.dump({"sf_dir": sf_dir, "n_epochs": n_epochs}, f)
+    os.replace(tmp, out)
+    return out

@@ -1,0 +1,189 @@
+"""Keyed state-store actors + the salted hash-routing stage.
+
+The reference's state lives in ksqlDB's RocksDB stores partitioned by
+the GROUP BY key, with ``merge()`` combining partials across partitions
+(SURVEY.md §4.1).  Here: ``P`` ``StatePartition`` actors each own a
+hash range of ``(source, salt)``; the routing stage inside the epoch's
+``map_batches`` pipeline pushes *partial moment structs* (never raw
+rows) to their owner — the explicit, tiny shuffle mandated by
+BASELINE.json:north_star.
+
+Skew: partials are pre-aggregated per ``(source, salt, window)`` with
+``salt = numeric_doc_id % S``, so a hot source's state spreads over up
+to S actors; the cross-salt merge happens once per window close on
+O(closed windows) rows.
+
+Fault tolerance: Ray does not recover actor state — each partition
+checkpoints its accumulator dict per epoch (tiny: O(groups × windows ×
+sums)) and the driver records the epoch frontier; resume restores the
+snapshot and replays from the next epoch (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+__all__ = ["StatePartition", "route_partition", "Router"]
+
+
+def route_partition(source: np.ndarray, salt: np.ndarray, n_partitions: int) -> np.ndarray:
+    """Stable partition assignment for (source, salt) pairs."""
+    uniq, inv = np.unique(source, return_inverse=True)
+    h = np.array([zlib.crc32(s.encode()) for s in uniq], dtype=np.int64)[inv]
+    return ((h * 31 + salt.astype(np.int64)) % n_partitions).astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+class StatePartition:
+    # num_cpus=0: merge work is tiny (partial structs); reserving CPU
+    # shares would starve the map_batches stages in small sessions.
+    """Owns per-(source, salt, window_start) accumulator sums."""
+
+    def __init__(self, partition_id: int, sum_cols: list[str], window_size_s: int):
+        self.pid = partition_id
+        self.sum_cols = list(sum_cols)
+        self.window_size_s = window_size_s
+        # state: (source, salt, window_start) -> np.float64[len(sum_cols)]
+        self.state: dict[tuple, np.ndarray] = {}
+        self.metrics = {"partial_rows_in": 0, "ingests": 0, "windows_closed": 0}
+
+    def ingest(self, table: pa.Table) -> int:
+        """Merge a partial-sums table (cols: source, salt, window_start,
+        *sum_cols).  Field-wise addition == the reference's merge()."""
+        n = table.num_rows
+        if n:
+            src = table["source"].to_pylist()
+            salt = table["salt"].to_numpy(zero_copy_only=False)
+            ws = table["window_start"].to_numpy(zero_copy_only=False)
+            sums = np.column_stack(
+                [
+                    table[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                    for c in self.sum_cols
+                ]
+            )
+            st = self.state
+            for i in range(n):
+                k = (src[i], int(salt[i]), int(ws[i]))
+                cur = st.get(k)
+                if cur is None:
+                    st[k] = sums[i].copy()
+                else:
+                    cur += sums[i]
+        self.metrics["partial_rows_in"] += n
+        self.metrics["ingests"] += 1
+        return n
+
+    def close_windows(self, watermark_s: int) -> pa.Table:
+        """Pop and return all state whose window has fully passed the
+        watermark (window_start + size <= watermark)."""
+        closed_keys = [
+            k for k in self.state if k[2] + self.window_size_s <= watermark_s
+        ]
+        self.metrics["windows_closed"] += len(closed_keys)
+        if not closed_keys:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "salt": pa.array([], pa.int64()),
+                    "window_start": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.float64()) for c in self.sum_cols},
+                }
+            )
+        rows = np.stack([self.state.pop(k) for k in closed_keys])
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in closed_keys], pa.string()),
+                "salt": pa.array([k[1] for k in closed_keys], pa.int64()),
+                "window_start": pa.array([k[2] for k in closed_keys], pa.int64()),
+                **{c: pa.array(rows[:, j]) for j, c in enumerate(self.sum_cols)},
+            }
+        )
+
+    def get_metrics(self) -> dict:
+        return {"partition": self.pid, **self.metrics, "live_groups": len(self.state)}
+
+    # -- checkpoint / restore ---------------------------------------------
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        keys = sorted(self.state)
+        t = pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "salt": pa.array([k[1] for k in keys], pa.int64()),
+                "window_start": pa.array([k[2] for k in keys], pa.int64()),
+                **{
+                    c: pa.array([float(self.state[k][j]) for k in keys])
+                    for j, c in enumerate(self.sum_cols)
+                },
+            }
+        )
+        path = os.path.join(ckpt_dir, f"state-p{self.pid:04d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        path = os.path.join(ckpt_dir, f"state-p{self.pid:04d}.parquet")
+        self.state = {}
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        src = t["source"].to_pylist()
+        salt = t["salt"].to_numpy()
+        ws = t["window_start"].to_numpy()
+        sums = np.column_stack(
+            [t[c].to_numpy().astype(np.float64) for c in self.sum_cols]
+        ) if t.num_rows else np.zeros((0, len(self.sum_cols)))
+        for i in range(t.num_rows):
+            self.state[(src[i], int(salt[i]), int(ws[i]))] = sums[i].copy()
+        return t.num_rows
+
+
+class Router:
+    """Fused partial+route map_batches stage: computes the per-batch
+    partial sums (via ``partial_fn``), pushes them to their owning
+    StatePartition actor, and emits one bookkeeping row per batch
+    (max event ts seen, late-drop count, raw row count) for the
+    driver's watermark/metrics.  Fused into ONE stage so bookkeeping
+    never crosses a rebatching boundary.  Blocking on the ingest acks
+    inside __call__ guarantees that when the epoch pipeline has
+    drained, all state mutations have been applied."""
+
+    def __init__(self, actors: list, n_partitions: int, partial_fn):
+        self.actors = actors
+        self.P = n_partitions
+        self.partial_fn = partial_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        partial, info = self.partial_fn(batch)
+        max_ts = info["max_ts_us"]
+        late = info["late_dropped"]
+        rows_in = info["rows_in"]
+        if partial.num_rows:
+            part = route_partition(
+                np.asarray(partial["source"].to_pylist()),
+                partial["salt"].to_numpy(zero_copy_only=False),
+                self.P,
+            )
+            acks = []
+            for p in np.unique(part):
+                sub = partial.filter(pa.array(part == p))
+                acks.append(self.actors[int(p)].ingest.remote(sub))
+            ray.get(acks)
+        return pa.table(
+            {
+                "max_ts_us": pa.array([max_ts], pa.int64()),
+                "late_dropped": pa.array([late], pa.int64()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "partial_rows": pa.array([partial.num_rows], pa.int64()),
+            }
+        )
