@@ -1,44 +1,68 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module, so
+nothing here (or in raystat) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on sf0.001 — the streaming windowed
+  token-statistics engine over the token stream derived from
+  ``documents`` (SURVEY.md §3.2).
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator
+  (SURVEY.md §2); SQL twins use the reference's power-sum formulas.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _register_by_value() -> None:
+    """Ship raystat code to Ray workers by value: the driver may call
+    ``ray.init`` before this repo is on sys.path, in which case worker
+    processes cannot import ``raystat`` by reference."""
+    import importlib
+    import pkgutil
+
+    import raystat
+    from ray import cloudpickle
+
+    mods = [raystat]
+    for m in pkgutil.walk_packages(raystat.__path__, "raystat."):
+        try:
+            mods.append(importlib.import_module(m.name))
+        except ImportError:
+            pass
+    for m in mods:
+        try:
+            cloudpickle.register_pickle_by_value(m)
+        except Exception:
+            pass
+
+
+_register_by_value()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: streaming windowed aggregate over the derived token
+    stream at sf0.001; returns the committed window-aggregate table."""
+    from raystat.pipelines.queries import _streaming_tokens
+
+    return _streaming_tokens("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from raystat.pipelines.queries import queries as _q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raystat.pipelines.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""bench.py — headline throughput for the raystat engine.
+
+Headline: end-to-end streaming windowed-aggregate throughput
+(sequences/sec) over the synthetic token stream sized by the sf of
+``$GRAFT_SF_DIR`` (sf0.1 -> 2M sequences), run by the StreamDriver
+(watermarks, salted shuffle to state actors, exactly-once sink).
+Additional timed queries: batch windowed/grouped/session statistics
+over the testdata tables and flattened token-value statistics.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "sequences_per_sec": ...}
+
+``--scaling``: runs the headline twice in fresh processes at
+num_cpus=8 and 32 on the SAME input and reports both throughputs plus
+scaling efficiency (sandbox stand-in for N vs 4N nodes; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_EPOCHS = 6
+N_PARTITIONS = 32  # fixed across scaling levels: identical shuffle layout
+
+
+def parse_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else 0.01
+
+
+def bench_rows(sf: float) -> int:
+    return max(50_000, int(20_000_000 * sf))
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NCPU,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from raystat.aggregate import grouped_moments, session_moments
+    from raystat.extract import flatten_tokens
+    from raystat.fixtures import epoch_len_us, metadata_rows, write_stream_fixture
+    from raystat.streaming import StreamConfig, StreamDriver
+    from raystat.windows import Tumbling
+
+    sf = parse_sf(SF_DIR)
+    n_rows = bench_rows(sf)
+    fix = f"/tmp/raystat_fixtures/bench_{n_rows}"
+    write_stream_fixture(fix, n_rows=n_rows, rows_per_block=100_000, n_epochs=N_EPOCHS)
+
+    # warmup: spawn workers + page-cache the fixture (untimed)
+    rd.read_parquet(fix, file_extensions=["parquet"]).map_batches(
+        lambda b: b.slice(0, 1), batch_format="pyarrow"
+    ).count()
+
+    queries: dict[str, float] = {}
+
+    # -- headline: streaming windowed token statistics ----------------------
+    out = tempfile.mkdtemp(prefix="raystat_bench_")
+    cfg = StreamConfig(
+        window_size_s=3600,
+        allowed_lateness_s=epoch_len_us(N_EPOCHS) // 1_000_000,
+        n_partitions=N_PARTITIONS,
+        n_salts=8,
+        batch_size=65536,
+    )
+    drv = StreamDriver(fix, out, cfg, metadata=metadata_rows(N_EPOCHS))
+    t0 = time.time()
+    drv.run()
+    headline = time.time() - t0
+    queries["streaming_windowed_tokens"] = round(headline, 3)
+    shutil.rmtree(out, ignore_errors=True)
+
+    # -- batch: tumbling windowed token-length stats over the same fixture --
+    ds_tok = rd.read_parquet(fix, file_extensions=["parquet"])
+    from raystat.extract import add_event_time
+
+    t0 = time.time()
+    grouped_moments(
+        ds_tok.map_batches(add_event_time, batch_format="pyarrow"),
+        {"wavg": "weighted_average", "wstd": "stddev_weighted",
+         "skew": "skewness", "kurt": "kurtosis"},
+        ["source"], value="n_tok", weight="n_tok",
+        window=Tumbling(3600), ts="ts", batch_size=65536,
+    ).to_pandas()
+    queries["batch_tumbling_tokens"] = round(time.time() - t0, 3)
+
+    # -- batch: token-value stats (flatten every token id) ------------------
+    t0 = time.time()
+    grouped_moments(
+        ds_tok.map_batches(
+            lambda b: flatten_tokens(b, keep=("source",)), batch_format="pyarrow",
+            batch_size=16384,
+        ),
+        {"tok_skew": "skewness", "tok_kurt": "kurtosis"},
+        ["source"], value="token", batch_size=1_000_000,
+    ).to_pandas()
+    queries["token_value_stats"] = round(time.time() - t0, 3)
+
+    # -- testdata queries ----------------------------------------------------
+    li = rd.read_parquet(
+        os.path.join(SF_DIR, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    t0 = time.time()
+    grouped_moments(
+        li, {"wavg": "weighted_average", "wstd": "stddev_weighted",
+             "wskew": "skewness_weighted", "wkurt": "kurtosis_weighted"},
+        ["l_returnflag"], value="l_extendedprice", weight="l_quantity",
+    ).to_pandas()
+    queries["weighted_stats_lineitem"] = round(time.time() - t0, 3)
+
+    ev = rd.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+    t0 = time.time()
+    grouped_moments(
+        ev, {"skew": "skewness", "kurt": "kurtosis"}, ["event_type"],
+        value="value", window=Tumbling(86400), ts="ts",
+    ).to_pandas()
+    queries["tumbling_window_events"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    session_moments(
+        ev, {"wavg": "weighted_average"}, ["event_type"],
+        value="value", weight="value", ts="ts", gap_s=7200,
+    ).to_pandas()
+    queries["session_window_events"] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end streaming windowed-aggregate throughput",
+                "value": round(headline, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": NCPU,
+                "sequences": n_rows,
+                "sequences_per_sec": round(n_rows / headline, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    res = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        res[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = res[8]["value"], res[32]["value"]
+    print(
+        json.dumps(
+            {
+                "sec_8": t8,
+                "sec_32": t32,
+                "seq_per_sec_8": res[8]["sequences_per_sec"],
+                "seq_per_sec_32": res[32]["sequences_per_sec"],
+                "scaling_efficiency": round((t8 / t32) / 4.0, 3),
+                "sequences": res[32]["sequences"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

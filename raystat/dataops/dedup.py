@@ -1,0 +1,277 @@
+"""Deduplication operators, Ray-Data-first (SURVEY-plus surface for
+training-data pipelines).
+
+- exact: content hash in map_batches -> hash-partitioned groupby ->
+  first-per-group (only winners leave the shuffle).
+- MinHash+LSH near-dup: shingle -> 64-perm minhash (vectorized
+  reduceat) -> banded (band_id, band_hash, doc_id) rows -> groupby
+  buckets -> candidate pairs -> exact shingle-Jaccard verify on the
+  (small) candidate set.
+- SimHash near-dup: 64-bit simhash per doc (bitplane sums via
+  reduceat), band on 16-bit quarters, verify by Hamming distance.
+- embedding cosine near-dup: see similarity.py.
+
+Partitioning assumptions are stated per function; every shuffle moves
+hashes/signatures, never raw text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "add_content_hash",
+    "exact_dedup",
+    "minhash_signatures_batch",
+    "minhash_lsh_pairs",
+    "simhash_batch",
+    "simhash_pairs",
+    "shingle_set",
+    "jaccard",
+]
+
+_MERSENNE = (1 << 61) - 1
+_N_PERM = 64
+_BANDS = 16  # 16 bands x 4 rows
+_rng = np.random.default_rng(12345)
+_PERM_A = _rng.integers(1, _MERSENNE, size=_N_PERM, dtype=np.int64)
+_PERM_B = _rng.integers(0, _MERSENNE, size=_N_PERM, dtype=np.int64)
+
+
+def _md5_64(texts: list) -> np.ndarray:
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5((t or "").encode()).digest()[:8], "little")
+            for t in texts
+        ),
+        dtype=np.uint64,
+        count=len(texts),
+    ).astype(np.int64)
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return batch.append_column("content_hash", pa.array(_md5_64(batch[text_col].to_pylist())))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per identical text.  Shuffle key =
+    content_hash (uniform by construction, no skew); only (hash, id)
+    pairs + winner rows move."""
+
+    def h(batch: pa.Table) -> pa.Table:
+        return add_content_hash(batch, text_col)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, id_col)
+
+    return (
+        ds.map_batches(h, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(first, batch_format="pandas")
+        .drop_columns(["content_hash"])
+    )
+
+
+# -- shingles / jaccard -----------------------------------------------------
+
+
+def shingle_set(text: str, k: int = 3) -> set[int]:
+    """Word k-shingles hashed to int (crc of joined words)."""
+    import zlib
+
+    words = (text or "").split()
+    if len(words) < k:
+        return {zlib.crc32(" ".join(words).encode())} if words else set()
+    return {
+        zlib.crc32(" ".join(words[i : i + k]).encode())
+        for i in range(len(words) - k + 1)
+    }
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def _doc_shingle_arrays(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened shingle hashes + row offsets (for reduceat)."""
+    sets = [sorted(shingle_set(t)) for t in texts]
+    counts = np.array([max(len(s), 1) for s in sets], dtype=np.int64)
+    flat = np.concatenate(
+        [np.array(s if s else [0], dtype=np.int64) for s in sets]
+    ) if sets else np.zeros(0, dtype=np.int64)
+    offsets = np.zeros(len(sets), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    return flat, offsets
+
+
+def minhash_signatures_batch(batch: pa.Table, text_col: str = "text") -> np.ndarray:
+    """(n_docs, 64) int64 minhash signatures, vectorized:
+    perm hash = (a*h + b) mod p, min per doc via minimum.reduceat."""
+    texts = batch[text_col].to_pylist()
+    if not texts:
+        return np.zeros((0, _N_PERM), dtype=np.int64)
+    flat, offsets = _doc_shingle_arrays(texts)
+    sig = np.empty((len(texts), _N_PERM), dtype=np.int64)
+    flat_u = flat.astype(np.uint64)
+    for j in range(_N_PERM):
+        ph = (np.uint64(_PERM_A[j]) * flat_u + np.uint64(_PERM_B[j])) % np.uint64(
+            _MERSENNE
+        )
+        sig[:, j] = np.minimum.reduceat(ph.astype(np.int64), offsets)
+    return sig
+
+
+def _band_rows(ids: np.ndarray, sig: np.ndarray) -> pa.Table:
+    """(band_id, band_hash, doc_id) rows: band hash mixes its 4 rows."""
+    rows_per_band = _N_PERM // _BANDS
+    out_band, out_hash, out_id = [], [], []
+    for b in range(_BANDS):
+        chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band].astype(np.uint64)
+        h = np.zeros(len(ids), dtype=np.uint64)
+        for c in range(rows_per_band):
+            h = h * np.uint64(1099511628211) + chunk[:, c]
+        out_band.append(np.full(len(ids), b, dtype=np.int64))
+        out_hash.append(h.astype(np.int64))
+        out_id.append(ids)
+    return pa.table(
+        {
+            "band_id": pa.array(np.concatenate(out_band)),
+            "band_hash": pa.array(np.concatenate(out_hash)),
+            "doc_id": pa.array(np.concatenate(out_id)),
+        }
+    )
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.8):
+    """Near-duplicate pairs by MinHash-LSH, verified with exact
+    shingle Jaccard >= threshold.  Returns a pandas DataFrame
+    (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Scale path: the only shuffle is the (band_id, band_hash) groupby
+    over 16 x n_docs tiny rows; the verify stage re-reads only
+    candidate docs (broadcast id-set filter).  Assumes the candidate
+    set (true near-dups + band collisions) is far smaller than the
+    corpus — the standard LSH regime."""
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _band_rows(ids, minhash_signatures_batch(batch, text_col))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    cand = (
+        ds.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.drop_duplicates(ignore_index=True)
+    if not len(cand):
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    need = set(cand["doc_a"]).union(cand["doc_b"])
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, np.fromiter(need, dtype=np.int64))
+        sub = batch.filter(pa.array(mask))
+        return pa.table({"doc_id": sub[id_col], "text": sub[text_col]})
+
+    docs = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    sh = {int(r.doc_id): shingle_set(r.text) for r in docs.itertuples()}
+    jac = np.array(
+        [jaccard(sh[int(a)], sh[int(b)]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
+    )
+    cand["jaccard"] = jac
+    out = cand[jac >= threshold].reset_index(drop=True)
+    return out.astype({"doc_a": np.int64, "doc_b": np.int64})
+
+
+# -- simhash ---------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """64-bit SimHash per doc over word shingles (bitplane sums via
+    add.reduceat)."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if not texts:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "simhash": pa.array([], pa.int64())})
+    flat, offsets = _doc_shingle_arrays(texts)
+    # spread crc32 into 64 bits with a splitmix-style mix
+    h = flat.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    sims = np.zeros(len(texts), dtype=np.uint64)
+    counts = np.diff(np.append(offsets, len(h)))
+    for b in range(64):
+        bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bit, offsets)
+        sims |= ((2 * ones > counts).astype(np.uint64)) << np.uint64(b)
+    return pa.table({"doc_id": pa.array(ids), "simhash": pa.array(sims.astype(np.int64))})
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, candidates
+    via 4x16-bit band collisions (guaranteed to catch distance <= 3)."""
+
+    def sh(batch: pa.Table) -> pa.Table:
+        return simhash_batch(batch, text_col, id_col)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        parts = []
+        for b in range(4):
+            parts.append(
+                pa.table(
+                    {
+                        "band_id": pa.array(np.full(len(ids), b, dtype=np.int64)),
+                        "band_hash": pa.array(((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)),
+                        "doc_id": pa.array(ids),
+                        "simhash": pa.array(s.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        s = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        x = s[a] ^ s[b]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep]})
+
+    out = (
+        ds.map_batches(sh, batch_format="pyarrow")
+        .map_batches(bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
+        .astype({"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
+        if len(out)
+        else out
+    )

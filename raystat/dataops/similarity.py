@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- brute-force cosine top-k: the query matrix is normalized once and
+  broadcast via ``ray.put``; each batch does one float64 matmul
+  against it — the baseline and the exact oracle.
+- LSH-bucketed near-dup pairs: random-hyperplane signatures ->
+  bucket groupby -> exact cosine verify within buckets (the scale
+  path: only signatures shuffle; verification touches bucket-local
+  vectors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["ann_topk", "embedding_dup_pairs", "embedding_lsh_pairs"]
+
+
+def _stack(batch_col) -> np.ndarray:
+    col = batch_col.combine_chunks() if hasattr(batch_col, "combine_chunks") else batch_col
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def ann_topk(
+    ds,
+    query_vectors: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact cosine top-k: per-batch partial top-k against the
+    broadcast query matrix, merged on the driver (k x |queries| rows
+    per batch — tiny).  Ties broken by ascending id (deterministic).
+    Returns DataFrame (query_id, neighbor_id, cos)."""
+    import ray
+
+    Q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    qref = ray.put((Q, np.asarray(query_ids, dtype=np.int64)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        Qm, qids = ray.get(qref)
+        X = _normalize(_stack(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        C = X @ Qm.T  # (n_batch, n_q)
+        out_q, out_n, out_c = [], [], []
+        for j in range(Qm.shape[0]):
+            c = C[:, j]
+            mask = ids != qids[j] if exclude_self else np.ones(len(ids), bool)
+            cj, ij = c[mask], ids[mask]
+            if not len(cj):
+                continue
+            kk = min(k, len(cj))
+            # top-k by (cos desc, id asc)
+            order = np.lexsort((ij, -cj))[:kk]
+            out_q.append(np.full(kk, qids[j], dtype=np.int64))
+            out_n.append(ij[order])
+            out_c.append(cj[order])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return parts
+    parts = parts.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="stable"
+    )
+    return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def embedding_dup_pairs(
+    ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """All pairs with cosine >= threshold (exact, brute force): the
+    full normalized matrix is broadcast; each batch matmuls against
+    it and emits only (a < b) passing pairs.  O(N^2) compute but only
+    passing pairs leave the tasks — fine up to ~10^5 vectors; beyond
+    that use embedding_lsh_pairs."""
+    import ray
+
+    full = ds.to_pandas()
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    X_all = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((X_all, ids_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        Xa, ia = ray.get(ref)
+        X = _normalize(_stack(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        C = X @ Xa.T
+        r, c = np.where(C >= threshold)
+        a, b = ids[r], ia[c]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+                "cos": pa.array(C[r, c][keep]),
+            }
+        )
+
+    out = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    if "vec_a" not in out.columns:  # empty result can drop the schema
+        out = pd.DataFrame(
+            {"vec_a": pd.Series(dtype=np.int64), "vec_b": pd.Series(dtype=np.int64),
+             "cos": pd.Series(dtype=np.float64)}
+        )
+    return out.sort_values(["vec_a", "vec_b"], ignore_index=True)
+
+
+def embedding_lsh_pairs(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 9,
+):
+    """Scale path: random-hyperplane LSH.  Signatures (n_tables x
+    n_planes bits) are the only shuffled payload; candidate buckets
+    verify exact cosine locally.  Recall is probabilistic (raise
+    n_tables for higher recall); exact dups (cos=1) always collide."""
+    rng = np.random.default_rng(seed)
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0])
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    import ray
+
+    pref = ray.put(planes)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        P = ray.get(pref)
+        X = _normalize(_stack(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        for t in range(n_tables):
+            bits = (X @ P[t].T) > 0
+            h = (bits.astype(np.uint64) * weights).sum(axis=1)
+            parts.append(
+                pa.table(
+                    {
+                        "table_id": pa.array(np.full(len(ids), t, dtype=np.int64)),
+                        "bucket": pa.array(h.astype(np.int64)),
+                        "vec_id": pa.array(ids),
+                        "vec": pa.array(list(X), type=pa.list_(pa.float64())),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        X = np.stack(g["vec"].to_numpy())
+        C = X @ X.T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = C[a, b] >= threshold
+        return pd.DataFrame({"vec_a": ids[a][keep], "vec_b": ids[b][keep], "cos": C[a, b][keep]})
+
+    out = (
+        ds.map_batches(sig, batch_format="pyarrow")
+        .groupby(["table_id", "bucket"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return out
+    return (
+        out.drop_duplicates(["vec_a", "vec_b"])
+        .sort_values(["vec_a", "vec_b"], ignore_index=True)
+        .astype({"vec_a": np.int64, "vec_b": np.int64})
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis stages over the ``documents`` table (vectorized
+map_batches fns; compiled patterns and lookup tables built at module
+import — equivalently once per worker process)."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "token_count_batch",
+    "quality_score_batch",
+    "lang_id_batch",
+    "fingerprint_batch",
+    "STOPWORDS",
+]
+
+_WS = re.compile(r"\S+")
+_PUNCT = re.compile(r"[.!?,;]")
+_ALPHA = re.compile(r"[A-Za-z]")
+_CJK = re.compile(r"[一-鿿぀-ヿ가-힯]")
+_CYR = re.compile(r"[Ѐ-ӿ]")
+STOPWORDS = ("the", "and", "of", "a", "to")
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tok): whitespace-token count; SQL twin in
+    queries.N_TOK_SQL."""
+    s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
+    n = s.str.count(r"\S+").astype(np.int64)
+    return pa.table({"doc_id": batch["doc_id"], "n_tok": pa.array(n)})
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic quality components + composite score, each with an
+    exact DuckDB twin (see queries.py):
+      n_chars, n_tok, punct_ratio (of chars), stop_ratio (of tokens),
+      score = n_tok/(n_tok+100) - punct_ratio + stop_ratio."""
+    s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
+    n_chars = s.str.len().astype(np.float64)
+    n_tok = s.str.count(r"\S+").astype(np.float64)
+    punct = s.str.count(_PUNCT).astype(np.float64)
+    toks = s.str.findall(r"\S+")
+    stops = toks.map(lambda ws: sum(w in STOPWORDS for w in ws)).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        punct_ratio = np.where(n_chars > 0, punct / n_chars, 0.0)
+        stop_ratio = np.where(n_tok > 0, stops / n_tok, 0.0)
+    score = n_tok / (n_tok + 100.0) - punct_ratio + stop_ratio
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars),
+            "n_tok": pa.array(n_tok),
+            "punct_ratio": pa.array(punct_ratio),
+            "stop_ratio": pa.array(stop_ratio),
+            "score": pa.array(score),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Heuristic language id from character classes (CJK / Cyrillic /
+    Latin alpha-ratio); deterministic — rows-only check."""
+    s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
+    n = s.str.len().clip(lower=1).astype(np.float64)
+    cjk = s.str.count(_CJK).astype(np.float64) / n
+    cyr = s.str.count(_CYR).astype(np.float64) / n
+    alpha = s.str.count(_ALPHA).astype(np.float64) / n
+    pred = np.where(cjk > 0.05, "zh", np.where(cyr > 0.05, "ru", np.where(alpha > 0.4, "en", "unk")))
+    return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(pred.astype(object), pa.string())})
+
+
+def _rolling_hash_tokens(words: list[str]) -> int:
+    """Winnowing-style fingerprint: min of rolling 4-gram hashes
+    (Rabin-Karp over crc32 word hashes); deterministic 63-bit."""
+    if not words:
+        return 0
+    hs = [zlib.crc32(w.encode()) for w in words]
+    B, M = 1_000_003, (1 << 61) - 1
+    if len(hs) < 4:
+        acc = 0
+        for h in hs:
+            acc = (acc * B + h) % M
+        return acc
+    best = M
+    acc = 0
+    pw = pow(B, 3, M)
+    for i, h in enumerate(hs):
+        if i < 4:
+            acc = (acc * B + h) % M
+            if i == 3 and acc < best:
+                best = acc
+        else:
+            acc = ((acc - hs[i - 4] * pw) * B + h) % M
+            if acc < best:
+                best = acc
+    return best
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fingerprint): content fingerprint stable under
+    whitespace normalization; identical texts get identical prints."""
+    texts = batch["text"].to_pylist()
+    fps = np.fromiter(
+        (_rolling_hash_tokens(_WS.findall(t or "")) for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)})

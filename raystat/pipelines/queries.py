@@ -1,0 +1,529 @@
+"""Driver-contract query catalog: every operator from SURVEY.md §2 as a
+``fn(sf_dir) -> Dataset/DataFrame`` plus (where SQL-expressible) a
+DuckDB oracle twin built from the SAME naive power-sum formulas the
+reference uses (WeightedStdDevUdaf.java:123-142, SkewnessUdaf.java:154-189,
+KurtosisUdaf.java:160-198, weighted variants) — identical formula on
+both sides, incl. the zero-variance guards.
+
+Column names match between Ray results and SQL aliases (driver hashes
+by sorted column name)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from raystat.aggregate import grouped_moments, session_moments
+from raystat.extract import EVENT_TIME_SQL
+from raystat.windows import Hopping, Tumbling
+
+DAY = 86400
+
+
+# --------------------------------------------------------------------------
+# SQL formula builders (power-sum formulation, guard order as reference)
+# --------------------------------------------------------------------------
+
+
+def sql_wavg(v: str, w: str) -> str:
+    return f"(sum(({w})*({v}))/sum({w}))"
+
+
+def sql_wstd(v: str, w: str) -> str:
+    m = sql_wavg(v, w)
+    return (
+        f"sqrt(greatest(sum(({w})*({v})*({v}))/sum({w}) - pow({m},2), 0))"
+    )
+
+
+def _wvar(v: str, w: str) -> str:
+    m = sql_wavg(v, w)
+    return f"(sum(({w})*({v})*({v}))/sum({w}) - pow({m},2))"
+
+
+def sql_wskew(v: str, w: str) -> str:
+    m, var = sql_wavg(v, w), _wvar(v, w)
+    m3 = (
+        f"(sum(({w})*pow({v},3))/sum({w}) - 3*{m}*(sum(({w})*({v})*({v}))/sum({w}))"
+        f" + 2*pow({m},3))"
+    )
+    return f"(CASE WHEN {var} = 0 THEN 0.0 ELSE {m3}/pow(greatest({var},0),1.5) END)"
+
+
+def sql_wkurt(v: str, w: str) -> str:
+    m, var = sql_wavg(v, w), _wvar(v, w)
+    m4 = (
+        f"(sum(({w})*pow({v},4))/sum({w}) - 4*{m}*(sum(({w})*pow({v},3))/sum({w}))"
+        f" + 6*pow({m},2)*(sum(({w})*({v})*({v}))/sum({w})) - 3*pow({m},4))"
+    )
+    return f"(CASE WHEN {var} = 0 THEN 0.0 ELSE {m4}/({var}*{var}) END)"
+
+
+def _n(v: str) -> str:
+    return f"cast(count({v}) as double)"
+
+
+def sql_skew(v: str, sample: bool = False) -> str:
+    n = _n(v)
+    m = f"(sum({v})/{n})"
+    varp = f"(sum(({v})*({v}))/{n} - pow({m},2))"
+    var = f"({varp} * ({n}/({n}-1)))" if sample else varp
+    m3 = f"(sum(pow({v},3))/{n} - 3*{m}*(sum(({v})*({v}))/{n}) + 2*pow({m},3))"
+    base = f"{m3}/pow(greatest({var},0),1.5)"
+    if sample:
+        base = f"({base}) * (({n}*{n})/(({n}-1)*({n}-2)))"
+    return f"(CASE WHEN {var} = 0 THEN 0.0 ELSE {base} END)"
+
+
+def sql_kurt(v: str, sample: bool = False) -> str:
+    n = _n(v)
+    m = f"(sum({v})/{n})"
+    varp = f"(sum(({v})*({v}))/{n} - pow({m},2))"
+    var = f"({varp} * ({n}/({n}-1)))" if sample else varp
+    m4 = (
+        f"(sum(pow({v},4))/{n} - 4*{m}*(sum(pow({v},3))/{n})"
+        f" + 6*pow({m},2)*(sum(({v})*({v}))/{n}) - 3*pow({m},4))"
+    )
+    base = f"{m4}/({var}*{var})"
+    if sample:
+        base = (
+            f"(({n}*{n}*({n}+1))/(({n}-1)*({n}-2)*({n}-3))) * ({base})"
+            f" - (3*({n}-1)*({n}-1))/(({n}-2)*({n}-3))"
+        )
+    return f"(CASE WHEN {var} = 0 THEN 0.0 ELSE {base} END)"
+
+
+# SQL-side token count identical to tokenize_batch's \S+ findall count
+N_TOK_SQL = (
+    "(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END)"
+)
+# window_start (epoch seconds) of the derived event time, 6h tumbling
+TOK_WS_SQL = f"cast((({EVENT_TIME_SQL})//1000000)//21600*21600 as bigint)"
+
+
+# --------------------------------------------------------------------------
+# Query definitions
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[str], object]
+    sql: str | None  # None => non-SQL-expressible (rows-only check)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _li(sf_dir):
+    return _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+
+def _ev(sf_dir):
+    return _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+
+def _lineitem_weighted(out: str, spec: str):
+    def fn(sf_dir):
+        return grouped_moments(
+            _li(sf_dir), {out: spec}, ["l_returnflag"],
+            value="l_extendedprice", weight="l_quantity",
+        )
+
+    return fn
+
+
+def _events_unweighted(out: str, spec: str):
+    def fn(sf_dir):
+        return grouped_moments(_ev(sf_dir), {out: spec}, ["event_type"], value="value")
+
+    return fn
+
+
+def _tumbling_events(sf_dir):
+    return grouped_moments(
+        _ev(sf_dir),
+        {"wavg": "weighted_average", "wstd": "stddev_weighted",
+         "skew": "skewness", "kurt": "kurtosis"},
+        ["event_type"], value="value", weight="value",
+        window=Tumbling(DAY), ts="ts",
+    )
+
+
+def _hopping_events(sf_dir):
+    return grouped_moments(
+        _ev(sf_dir), {"wavg": "weighted_average"}, ["event_type"],
+        value="value", weight="value", window=Hopping(2 * DAY, DAY), ts="ts",
+    )
+
+
+def _session_events(sf_dir):
+    return session_moments(
+        _ev(sf_dir), {"wavg": "weighted_average"}, ["event_type"],
+        value="value", weight="value", ts="ts", gap_s=7200,
+    )
+
+
+def _global_lineitem(sf_dir):
+    return grouped_moments(
+        _li(sf_dir), {"wavg": "weighted_average", "wstd": "stddev_weighted"},
+        None, value="l_extendedprice", weight="l_quantity",
+    )
+
+
+def _doc_stats(sf_dir):
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    import pyarrow as pa
+
+    def add_one(b: pa.Table) -> pa.Table:
+        return b.append_column("one", pa.array([1.0] * b.num_rows, pa.float64()))
+
+    return grouped_moments(
+        ds.map_batches(add_one, batch_format="pyarrow"),
+        {"mean_chars": "weighted_average", "std_chars": "stddev_weighted",
+         "skew_chars": "skewness", "kurt_chars": "kurtosis"},
+        ["source"], value="n_chars", weight="one",
+    )
+
+
+def _tokens_windowed(sf_dir):
+    from raystat.extract import add_event_time
+    from raystat.pipelines.tokens import tokenize_documents
+
+    return grouped_moments(
+        tokenize_documents(sf_dir).map_batches(add_event_time, batch_format="pyarrow"),
+        {"wavg": "weighted_average", "wstd": "stddev_weighted",
+         "skew": "skewness", "kurt": "kurtosis"},
+        ["source"], value="n_tok", weight="n_tok",
+        window=Tumbling(21600), ts="ts",
+    )
+
+
+def _token_value_stats(sf_dir):
+    from raystat.extract import flatten_tokens
+    from raystat.pipelines.tokens import tokenize_documents
+
+    import pyarrow as pa
+
+    def flat_with_one(b: pa.Table) -> pa.Table:
+        f = flatten_tokens(b, keep=("source",))
+        return f.append_column("one", pa.array(np_ones(f.num_rows)))
+
+    def np_ones(n):
+        import numpy as np
+
+        return np.ones(n, dtype=np.float64)
+
+    flat = tokenize_documents(sf_dir).map_batches(flat_with_one, batch_format="pyarrow")
+    return grouped_moments(
+        flat, {"tok_mean": "weighted_average", "tok_std": "stddev_weighted",
+               "tok_skew": "skewness", "tok_kurt": "kurtosis"},
+        ["source"], value="token", weight="one",
+    )
+
+
+def _passthrough_tokens(sf_dir):
+    from raystat.pipelines.tokens import tokenize_documents
+
+    return tokenize_documents(sf_dir)
+
+
+def _streaming_tokens(sf_dir):
+    from raystat.fixtures import epoch_len_us
+    from raystat.pipelines.tokens import documents_stream_fixture
+    from raystat.streaming import StreamConfig, StreamDriver
+
+    n_epochs = 4
+    fix = documents_stream_fixture(sf_dir, n_epochs=n_epochs)
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="raystat_stream_q_")
+    try:
+        cfg = StreamConfig(
+            window_size_s=21600,
+            allowed_lateness_s=epoch_len_us(n_epochs) // 1_000_000,
+            n_partitions=8,
+            n_salts=4,
+        )
+        drv = StreamDriver(fix, out, cfg)
+        drv.run()
+        return drv.result_table().to_pandas().drop(columns=["quality"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+V, W = "l_extendedprice", "l_quantity"
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "weighted_average_lineitem",
+        _lineitem_weighted("wavg", "weighted_average"),
+        f"SELECT l_returnflag, {sql_wavg(V, W)} AS wavg FROM lineitem GROUP BY l_returnflag",
+    ),
+    QueryDef(
+        "stddev_weighted_lineitem",
+        _lineitem_weighted("wstd", "stddev_weighted"),
+        f"SELECT l_returnflag, {sql_wstd(V, W)} AS wstd FROM lineitem GROUP BY l_returnflag",
+    ),
+    QueryDef(
+        "skewness_weighted_lineitem",
+        _lineitem_weighted("wskew", "skewness_weighted"),
+        f"SELECT l_returnflag, {sql_wskew(V, W)} AS wskew FROM lineitem GROUP BY l_returnflag",
+    ),
+    QueryDef(
+        "kurtosis_weighted_lineitem",
+        _lineitem_weighted("wkurt", "kurtosis_weighted"),
+        f"SELECT l_returnflag, {sql_wkurt(V, W)} AS wkurt FROM lineitem GROUP BY l_returnflag",
+    ),
+    QueryDef(
+        "skewness_events",
+        _events_unweighted("skew", "skewness"),
+        f"SELECT event_type, {sql_skew('value')} AS skew FROM events GROUP BY event_type",
+    ),
+    QueryDef(
+        "skewness_sample_events",
+        _events_unweighted("skew_s", "skewness_sample"),
+        f"SELECT event_type, {sql_skew('value', True)} AS skew_s FROM events GROUP BY event_type",
+    ),
+    QueryDef(
+        "kurtosis_events",
+        _events_unweighted("kurt", "kurtosis"),
+        f"SELECT event_type, {sql_kurt('value')} AS kurt FROM events GROUP BY event_type",
+    ),
+    QueryDef(
+        "kurtosis_sample_events",
+        _events_unweighted("kurt_s", "kurtosis_sample"),
+        f"SELECT event_type, {sql_kurt('value', True)} AS kurt_s FROM events GROUP BY event_type",
+    ),
+    QueryDef(
+        "global_weighted_stats_lineitem",
+        _global_lineitem,
+        f"SELECT {sql_wavg(V, W)} AS wavg, {sql_wstd(V, W)} AS wstd FROM lineitem",
+    ),
+    QueryDef(
+        "tumbling_window_events",
+        _tumbling_events,
+        f"""SELECT event_type,
+              cast(floor(epoch(ts)/{DAY})*{DAY} as bigint) AS window_start,
+              {sql_wavg('value', 'value')} AS wavg,
+              {sql_wstd('value', 'value')} AS wstd,
+              {sql_skew('value')} AS skew,
+              {sql_kurt('value')} AS kurt
+            FROM events GROUP BY event_type, window_start""",
+    ),
+    QueryDef(
+        "hopping_window_events",
+        _hopping_events,
+        f"""SELECT event_type,
+              (cast(floor(epoch(ts)/{DAY}) as bigint) - k.i) * {DAY} AS window_start,
+              {sql_wavg('value', 'value')} AS wavg
+            FROM events CROSS JOIN (VALUES (0),(1)) k(i)
+            WHERE (cast(floor(epoch(ts)/{DAY}) as bigint) - k.i) * {DAY} > epoch(ts) - 2*{DAY}
+            GROUP BY event_type, window_start""",
+    ),
+    QueryDef(
+        "session_window_events",
+        _session_events,
+        f"""WITH t AS (
+              SELECT event_type, value, epoch_us(ts) AS tu,
+                     lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS prev
+              FROM events
+            ), s AS (
+              SELECT *, sum(CASE WHEN prev IS NULL OR tu - prev > cast(7200 as bigint)*1000000
+                                 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY event_type ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sess
+              FROM t
+            )
+            SELECT event_type, min(tu) AS session_start_us, max(tu) AS session_end_us,
+                   {sql_wavg('value', 'value')} AS wavg
+            FROM s GROUP BY event_type, sess""",
+    ),
+    QueryDef(
+        "doc_stats_by_source",
+        _doc_stats,
+        f"""SELECT source,
+              {sql_wavg('n_chars', '1.0')} AS mean_chars,
+              {sql_wstd('n_chars', '1.0')} AS std_chars,
+              {sql_skew('n_chars')} AS skew_chars,
+              {sql_kurt('n_chars')} AS kurt_chars
+            FROM documents GROUP BY source""",
+    ),
+    QueryDef(
+        "tokens_windowed_stats",
+        _tokens_windowed,
+        f"""SELECT source, {TOK_WS_SQL} AS window_start,
+              {sql_wavg(N_TOK_SQL, N_TOK_SQL)} AS wavg,
+              {sql_wstd(N_TOK_SQL, N_TOK_SQL)} AS wstd,
+              {sql_skew(N_TOK_SQL)} AS skew,
+              {sql_kurt(N_TOK_SQL)} AS kurt
+            FROM documents GROUP BY source, window_start""",
+    ),
+    QueryDef("token_value_stats", _token_value_stats, None),
+    QueryDef("passthrough_tokens", _passthrough_tokens, None),
+    QueryDef("streaming_windowed_tokens", _streaming_tokens, None),
+]
+
+
+# --------------------------------------------------------------------------
+# Training-data operations (dedup / similarity / text analysis / multimodal)
+# --------------------------------------------------------------------------
+
+
+def _docs(sf_dir):
+    return _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+
+def _q_token_count(sf_dir):
+    from raystat.dataops.text import token_count_batch
+
+    return _docs(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir):
+    from raystat.dataops.text import quality_score_batch
+
+    return _docs(sf_dir).map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def _q_langid(sf_dir):
+    from raystat.dataops.text import lang_id_batch
+
+    return _docs(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir):
+    from raystat.dataops.text import fingerprint_batch
+
+    return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir):
+    from raystat.dataops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+
+
+def _q_minhash_pairs(sf_dir):
+    from raystat.dataops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.8)
+
+
+def _q_simhash_pairs(sf_dir):
+    from raystat.dataops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _q_ann_topk(sf_dir):
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from raystat.dataops.similarity import ann_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).slice(0, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    out = ann_topk(emb, Q, qt["vec_id"].to_numpy(), k=10)
+    return out[["query_id", "neighbor_id"]]
+
+
+def _q_embedding_dups(sf_dir):
+    from raystat.dataops.similarity import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_dup_pairs(emb, threshold=0.95)
+    return out[["vec_a", "vec_b"]]
+
+
+def _q_embedding_lsh(sf_dir):
+    from raystat.dataops.similarity import embedding_lsh_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_lsh_pairs(emb, threshold=0.95)
+
+
+def _q_image_features(sf_dir):
+    from raystat.dataops.multimodal import image_features
+
+    return image_features(_docs(sf_dir))
+
+
+STOP_SQL = "('the','and','of','a','to')"
+NTOKD = f"cast({N_TOK_SQL} as double)"
+PUNCT_SQL = "cast(length(regexp_replace(text, '[^.!?,;]', '', 'g')) as double)"
+STOPS_SQL = (
+    "cast(len(list_filter(string_split_regex(trim(text), '\\s+'),"
+    f" x -> x in {STOP_SQL})) as double)"
+)
+PUNCT_RATIO_SQL = f"(CASE WHEN length(text) > 0 THEN {PUNCT_SQL}/length(text) ELSE 0.0 END)"
+STOP_RATIO_SQL = f"(CASE WHEN {NTOKD} > 0 THEN {STOPS_SQL}/{NTOKD} ELSE 0.0 END)"
+
+QUERIES.extend(
+    [
+        QueryDef(
+            "token_count_documents",
+            _q_token_count,
+            f"SELECT doc_id, cast({N_TOK_SQL} as bigint) AS n_tok FROM documents",
+        ),
+        QueryDef(
+            "quality_score_documents",
+            _q_quality,
+            f"""SELECT doc_id,
+                  cast(length(text) as double) AS n_chars,
+                  {NTOKD} AS n_tok,
+                  {PUNCT_RATIO_SQL} AS punct_ratio,
+                  {STOP_RATIO_SQL} AS stop_ratio,
+                  {NTOKD}/({NTOKD}+100.0) - {PUNCT_RATIO_SQL} + {STOP_RATIO_SQL} AS score
+                FROM documents""",
+        ),
+        QueryDef("lang_id_documents", _q_langid, None),
+        QueryDef("fingerprint_documents", _q_fingerprint, None),
+        QueryDef(
+            "dedup_exact_documents",
+            _q_dedup_exact,
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        ),
+        QueryDef("minhash_dedup_pairs", _q_minhash_pairs, None),
+        QueryDef("simhash_dedup_pairs", _q_simhash_pairs, None),
+        QueryDef(
+            "ann_topk_embeddings",
+            _q_ann_topk,
+            """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+               WHERE q.vec_id < 5
+               QUALIFY row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(cast(q.embedding as double[]),
+                                                 cast(c.embedding as double[])) DESC,
+                          c.vec_id) <= 10""",
+        ),
+        QueryDef(
+            "embedding_dup_pairs",
+            _q_embedding_dups,
+            """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(cast(a.embedding as double[]),
+                                            cast(b.embedding as double[])) >= 0.95""",
+        ),
+        QueryDef("embedding_lsh_pairs", _q_embedding_lsh, None),
+        QueryDef("image_features_documents", _q_image_features, None),
+    ]
+)
+
+
+def queries() -> dict[str, Callable[[str], object]]:
+    return {q.name: q.fn for q in QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.sql for q in QUERIES if q.sql is not None}

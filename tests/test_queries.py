@@ -1,0 +1,83 @@
+"""Run every driver-contract query against its DuckDB oracle at
+sf0.001 — the same comparison the graft driver performs at sf0.01."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.util import duck, to_pandas
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck(SF)
+    yield c
+    c.close()
+
+
+def _key_cols(df: pd.DataFrame) -> list[str]:
+    pref = [c for c in df.columns if df[c].dtype == object or "window" in c or "session" in c]
+    return pref or list(df.columns)
+
+
+def _pairs():
+    from raystat.pipelines.queries import QUERIES
+
+    return [(q.name, q) for q in QUERIES if q.sql is not None]
+
+
+@pytest.mark.parametrize("name,q", _pairs(), ids=[n for n, _ in _pairs()])
+def test_query_matches_oracle(name, q, con, ray_session):
+    got = to_pandas(q.fn(SF))
+    exp = con.sql(q.sql).df()
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: {sorted(got.columns)} vs {sorted(exp.columns)}"
+    )
+    keys = _key_cols(exp)
+    got = got.sort_values(keys, ignore_index=True)[sorted(got.columns)]
+    exp = exp.sort_values(keys, ignore_index=True)[sorted(exp.columns)]
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    for c in exp.columns:
+        if np.issubdtype(exp[c].dtype, np.number) and np.issubdtype(
+            np.asarray(got[c]).dtype, np.number
+        ):
+            np.testing.assert_allclose(
+                got[c].astype(float),
+                exp[c].astype(float),
+                rtol=1e-6,
+                atol=1e-9,
+                err_msg=f"{name}.{c}",
+            )
+        else:
+            assert got[c].tolist() == exp[c].tolist(), f"{name}.{c}"
+
+
+MAY_BE_EMPTY = {  # pair queries can legitimately find no dups at small sf
+    "minhash_dedup_pairs", "simhash_dedup_pairs", "embedding_lsh_pairs",
+}
+
+
+def test_rows_only_queries(ray_session):
+    from raystat.pipelines.queries import QUERIES
+
+    for q in QUERIES:
+        if q.sql is None:
+            out = to_pandas(q.fn(SF))
+            if q.name not in MAY_BE_EMPTY:
+                assert len(out) > 0, q.name
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = to_pandas(res)
+    assert len(df) >= 0
+    assert "source" in df.columns and "window_start" in df.columns
+    # every queries() key with an oracle_sql twin
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
