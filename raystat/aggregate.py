@@ -55,22 +55,39 @@ def partial_sums(
     ``x``/``w`` are float64 arrays with nulls already removed.
     Returns one row per distinct group with canonical sum columns.
     """
+    from raystat.scratch import buf
+
+    n = x.size
     arrays: dict[str, np.ndarray] = {}
+    # power columns go into named per-worker scratch buffers: fresh
+    # mmap'd allocations cost ~100x the compute in this environment;
+    # pa.table() wraps them zero-copy and group_by consumes them
+    # before the next batch reuses the buffers.
     if u_order:
-        arrays["u_n"] = np.ones(x.size, dtype=np.int64)
+        ones = buf("ps_ones", n, np.int64)
+        ones.fill(1)
+        arrays["u_n"] = ones
         arrays["u_s1"] = x
-        p = x
+        prev = x
         for i in range(2, u_order + 1):
-            p = p * x
-            arrays[f"u_s{i}"] = p
+            pb = buf(f"ps_u{i}", n)
+            np.multiply(prev, x, out=pb)
+            arrays[f"u_s{i}"] = pb
+            prev = pb
     if w_order:
         assert w is not None
         arrays["w_sw"] = w
-        arrays["w_sv"] = w * x
-        p = x
+        wv = buf("ps_wv", n)
+        np.multiply(w, x, out=wv)
+        arrays["w_sv"] = wv
+        prev = x
         for i in range(2, w_order + 1):
-            p = p * x
-            arrays[f"w_s{i}"] = w * p
+            pb = buf(f"ps_p{i}", n)
+            np.multiply(prev, x, out=pb)
+            wb = buf(f"ps_w{i}", n)
+            np.multiply(w, pb, out=wb)
+            arrays[f"w_s{i}"] = wb
+            prev = pb
     group_cols = list(group_arrays)
     data = {k: v for k, v in group_arrays.items()}
     data.update(arrays)

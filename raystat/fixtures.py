@@ -89,6 +89,21 @@ def arrival_epoch_for(doc_numeric: np.ndarray, event_epoch: np.ndarray) -> np.nd
     return event_epoch + late1.astype(np.int64) + 3 * late3.astype(np.int64)
 
 
+def _write_fixture_block(
+    tmp_root: str, b: int, nr: int, base: int, seed: int, n_epochs: int
+) -> None:
+    t = synth_token_block(b, nr, seed=seed, base=base)
+    ids = numeric_doc_id(t["doc_id"])
+    ev_us = event_time_us_from_numeric(ids)
+    event_epoch = (ev_us - T0_US) // epoch_len_us(n_epochs)  # 0..n_epochs-1
+    arr = arrival_epoch_for(ids, event_epoch)
+    for e in np.unique(arr):
+        sub = t.filter(pa.array(arr == e))
+        d = os.path.join(tmp_root, f"arrival={int(e)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, f"part-{b:05d}.parquet"))
+
+
 def write_stream_fixture(
     out_dir: str,
     *,
@@ -96,9 +111,11 @@ def write_stream_fixture(
     rows_per_block: int = 5_000,
     n_epochs: int = 6,
     seed: int = 42,
+    use_ray: bool = False,
 ) -> dict:
     """Write the arrival-partitioned stream fixture once; idempotent
-    (keyed by a manifest recording the parameters)."""
+    (keyed by a manifest recording the parameters).  ``use_ray=True``
+    generates blocks as parallel Ray tasks (bench-scale fixtures)."""
     manifest_path = os.path.join(out_dir, "_fixture.json")
     params = {
         "n_rows": n_rows,
@@ -118,18 +135,23 @@ def write_stream_fixture(
     shutil.rmtree(tmp_root, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(tmp_root)
-    for b in range(n_blocks):
-        nr = min(rows_per_block, n_rows - b * rows_per_block)
-        t = synth_token_block(b, nr, seed=seed, base=b * rows_per_block)
-        ids = numeric_doc_id(t["doc_id"])
-        ev_us = event_time_us_from_numeric(ids)
-        event_epoch = (ev_us - T0_US) // epoch_len_us(n_epochs)  # 0..n_epochs-1
-        arr = arrival_epoch_for(ids, event_epoch)
-        for e in np.unique(arr):
-            sub = t.filter(pa.array(arr == e))
-            d = os.path.join(tmp_root, f"arrival={int(e)}")
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(sub, os.path.join(d, f"part-{b:05d}.parquet"))
+    jobs = [
+        (b, min(rows_per_block, n_rows - b * rows_per_block), b * rows_per_block)
+        for b in range(n_blocks)
+    ]
+    if use_ray:
+        import ray
+
+        task = ray.remote(_write_fixture_block)
+        ray.get(
+            [
+                task.remote(tmp_root, b, nr, base, seed, n_epochs)
+                for b, nr, base in jobs
+            ]
+        )
+    else:
+        for b, nr, base in jobs:
+            _write_fixture_block(tmp_root, b, nr, base, seed, n_epochs)
     with open(os.path.join(tmp_root, "_fixture.json"), "w") as f:
         json.dump(params, f)
     os.replace(tmp_root, out_dir)

@@ -251,6 +251,7 @@ def _streaming_tokens(sf_dir):
             allowed_lateness_s=epoch_len_us(n_epochs) // 1_000_000,
             n_partitions=8,
             n_salts=4,
+            token_stats=True,
         )
         drv = StreamDriver(fix, out, cfg)
         drv.run()

@@ -45,9 +45,15 @@ import ray
 from raystat.accumulators import canonical_sums_for, get_spec
 from raystat.aggregate import partial_sums
 from raystat.extract import event_time_us_from_numeric, numeric_doc_id
+from raystat.scratch import astype_f8, buf
 from raystat.streaming.join import MetadataJoin
 from raystat.streaming.sink import ExactlyOnceParquetSink
-from raystat.streaming.state import Router, StatePartition
+from raystat.streaming.state import (
+    Router,
+    SessionRouter,
+    SessionStatePartition,
+    StatePartition,
+)
 
 __all__ = ["StreamConfig", "StreamDriver"]
 
@@ -67,17 +73,34 @@ class StreamConfig:
     window_size_s: int = 3600
     hop_s: int | None = None  # None => tumbling; else hopping
     allowed_lateness_s: int = 1800
+    session_gap_s: int | None = None  # set => SESSION windows (gap rule);
+    #   window_size_s/hop_s are ignored; units of window_start/end are us
     n_partitions: int = 8  # state-store actors (fix >= max CPUs for N/4N runs)
     n_salts: int = 4  # salt buckets per source for skew spreading
     join_grace_epochs: int = 2
     batch_size: int | None = None
     passthrough: bool = False
+    token_stats: bool = False  # also compute per-token-id moment stats
+    #   (value = every token id in `tokens`); tumbling windows only
+    tokens_col: str = "tokens" 
 
 
 def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int):
+    """Fused per-batch extraction + windowing + late-drop + partial
+    aggregation.  Group keys are integer-factorized (source dictionary
+    code, salt, window_start) and every power sum is an
+    ``np.bincount`` over the group index — no string shuffling, no
+    per-row Python.  With ``token_stats`` the token lists are flattened
+    zero-copy and token-level sums (t_n, t_s1..t_s4) accumulate into
+    the same groups via ``group_index[list_parent_indices]``."""
+    import pyarrow.compute as pc
+
     size_s = cfg.window_size_s
     hop_s = cfg.hop_s
     value_col, weight_col, n_salts = cfg.value_col, cfg.weight_col, cfg.n_salts
+    token_stats = cfg.token_stats
+    if token_stats and hop_s is not None:
+        raise ValueError("token_stats currently supports tumbling windows only")
 
     def fn(batch: pa.Table) -> tuple[pa.Table, dict]:
         rows_in = batch.num_rows
@@ -86,43 +109,165 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
         max_ts = int(ts_us.max()) if rows_in else -1
         ts_s = ts_us // 1_000_000
         salt = (ids % n_salts).astype(np.int64)
-        src = batch["source"]
-        x = batch[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        src_dict = pc.dictionary_encode(batch["source"].combine_chunks())
+        src_code = src_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        src_vocab = src_dict.dictionary
+        x = astype_f8("x", batch[value_col].to_numpy(zero_copy_only=False))
         w = (
-            batch[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            astype_f8("w", batch[weight_col].to_numpy(zero_copy_only=False))
             if weight_col is not None
             else None
         )
+        tok_col = batch[cfg.tokens_col].combine_chunks() if token_stats else None
+        row_idx = None  # hopping expansion map
         if hop_s is None:
             ws = (ts_s // size_s) * size_s
         else:
             k_max = ts_s // hop_s
             k_min = (ts_s - size_s) // hop_s + 1
             counts = (k_max - k_min + 1).astype(np.int64)
-            idx = np.repeat(np.arange(rows_in, dtype=np.int64), counts)
-            offs = np.arange(idx.size, dtype=np.int64) - np.repeat(
+            row_idx = np.repeat(np.arange(rows_in, dtype=np.int64), counts)
+            offs = np.arange(row_idx.size, dtype=np.int64) - np.repeat(
                 np.cumsum(counts) - counts, counts
             )
             ws = (np.repeat(k_min, counts) + offs) * hop_s
-            src = src.take(pa.array(idx))
-            salt = salt[idx]
-            x = x[idx]
-            w = w[idx] if w is not None else None
+            src_code = src_code[row_idx]
+            salt = salt[row_idx]
+            x = x[row_idx]
+            w = w[row_idx] if w is not None else None
         keep = (ws + size_s) > watermark_s  # drop fully-closed windows
         late_n = int((~keep).sum())
+        kept_row_of_orig = None
         if late_n:
-            ka = pa.array(keep)
-            src = src.filter(ka)
-            salt, ws, x = salt[keep], ws[keep], x[keep]
+            src_code, salt, ws, x = src_code[keep], salt[keep], ws[keep], x[keep]
             w = w[keep] if w is not None else None
-        part = partial_sums(
-            {"source": src, "salt": salt, "window_start": ws}, x, w, u_order, w_order
+            if token_stats:
+                kept_row_of_orig = np.cumsum(keep) - 1  # orig row -> kept pos
+        n_kept = x.size
+        if n_kept == 0:
+            empty = {
+                "source": pa.array([], pa.string()),
+                "salt": pa.array([], pa.int64()),
+                "window_start": pa.array([], pa.int64()),
+                **{c: pa.array([], pa.float64()) for c in needed},
+            }
+            return pa.table(empty), {
+                "max_ts_us": max_ts, "late_dropped": late_n, "rows_in": rows_in,
+            }
+        # integer factorization of (source, salt, window_start)
+        key = np.column_stack([src_code, salt, ws])
+        ukeys, inv = np.unique(key, axis=0, return_inverse=True)
+        G = len(ukeys)
+        # all large intermediates go through the per-worker scratch pool
+        # (fresh mmap'd allocations cost 100x the compute here)
+        sums: dict[str, np.ndarray] = {}
+        pb = buf("pow", n_kept)
+        wp = buf("wpow", n_kept) if w_order else None
+        if u_order:
+            sums["u_n"] = np.bincount(inv, minlength=G).astype(np.int64)
+            sums["u_s1"] = np.bincount(inv, weights=x, minlength=G)
+            np.copyto(pb, x)
+            for i in range(2, u_order + 1):
+                np.multiply(pb, x, out=pb)
+                sums[f"u_s{i}"] = np.bincount(inv, weights=pb, minlength=G)
+        if w_order:
+            sums["w_sw"] = np.bincount(inv, weights=w, minlength=G)
+            np.multiply(w, x, out=wp)
+            sums["w_sv"] = np.bincount(inv, weights=wp, minlength=G)
+            np.copyto(pb, x)
+            for i in range(2, w_order + 1):
+                np.multiply(pb, x, out=pb)
+                np.multiply(w, pb, out=wp)
+                sums[f"w_s{i}"] = np.bincount(inv, weights=wp, minlength=G)
+        if token_stats:
+            flat_raw = pc.list_flatten(tok_col).to_numpy(zero_copy_only=False)
+            parents = pc.list_parent_indices(tok_col).to_numpy(zero_copy_only=False)
+            if late_n:
+                pk = keep[parents]
+                flat_raw = flat_raw[pk]
+                parents = kept_row_of_orig[parents[pk]]
+            nt = flat_raw.size
+            flat = astype_f8("flat", flat_raw)
+            tg = buf("tg", nt, np.int64)
+            np.take(inv, parents, out=tg)
+            sums["t_n"] = np.bincount(tg, minlength=G).astype(np.int64)
+            sums["t_s1"] = np.bincount(tg, weights=flat, minlength=G)
+            tp = buf("tpow", nt)
+            np.copyto(tp, flat)
+            for i in range(2, 5):
+                np.multiply(tp, flat, out=tp)
+                sums[f"t_s{i}"] = np.bincount(tg, weights=tp, minlength=G)
+        part = pa.table(
+            {
+                "source": src_vocab.take(pa.array(ukeys[:, 0], pa.int64())),
+                "salt": pa.array(ukeys[:, 1]),
+                "window_start": pa.array(ukeys[:, 2]),
+                **{c: pa.array(sums[c]) for c in needed},
+            }
         )
         return part, {
-            "max_ts_us": max_ts,
-            "late_dropped": late_n,
-            "rows_in": rows_in,
+            "max_ts_us": max_ts, "late_dropped": late_n, "rows_in": rows_in,
         }
+
+    return fn
+
+
+def _session_partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int):
+    """Within-batch partial sessions per source: sort by (source, ts),
+    split runs at gap, aggregate power sums + min/max ts.  Late rows
+    (ts <= watermark) are dropped: any such event could only extend an
+    already-closed session (close rule: end + gap <= watermark)."""
+    gap_us = int(cfg.session_gap_s) * 1_000_000
+    value_col, weight_col = cfg.value_col, cfg.weight_col
+
+    def fn(batch: pa.Table) -> tuple[pa.Table, dict]:
+        rows_in = batch.num_rows
+        ids = numeric_doc_id(batch["doc_id"])
+        ts_us = event_time_us_from_numeric(ids)
+        max_ts = int(ts_us.max()) if rows_in else -1
+        keep = (ts_us // 1_000_000) > watermark_s
+        late_n = int((~keep).sum())
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        x = batch[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        w = (
+            batch[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            if weight_col is not None
+            else None
+        )
+        if late_n:
+            src, ts_us, x = src[keep], ts_us[keep], x[keep]
+            w = w[keep] if w is not None else None
+        df = pd.DataFrame({"source": src, "_ts": ts_us})
+        if u_order:
+            df["u_n"] = np.ones(len(df), dtype=np.int64)
+            df["u_s1"] = x
+            px = x
+            for i in range(2, u_order + 1):
+                px = px * x
+                df[f"u_s{i}"] = px
+        if w_order:
+            df["w_sw"] = w
+            df["w_sv"] = w * x
+            px = x
+            for i in range(2, w_order + 1):
+                px = px * x
+                df[f"w_s{i}"] = w * px
+        df = df.sort_values(["source", "_ts"], kind="stable", ignore_index=True)
+        if len(df):
+            sv = df["source"].to_numpy()
+            tv = df["_ts"].to_numpy()
+            brk = np.ones(len(df), dtype=bool)
+            brk[1:] = (sv[1:] != sv[:-1]) | ((tv[1:] - tv[:-1]) > gap_us)
+            df["_sess"] = np.cumsum(brk)
+        else:
+            df["_sess"] = np.array([], dtype=np.int64)
+        g = df.groupby(["source", "_sess"], sort=False, as_index=False).agg(
+            **{c: (c, "sum") for c in needed},
+            session_start_us=("_ts", "min"),
+            session_end_us=("_ts", "max"),
+        )
+        part = pa.Table.from_pandas(g.drop(columns=["_sess"]), preserve_index=False)
+        return part, {"max_ts_us": max_ts, "late_dropped": late_n, "rows_in": rows_in}
 
     return fn
 
@@ -142,9 +287,21 @@ class StreamDriver:
         self.cfg = cfg or StreamConfig()
         self.metadata = metadata
         self.resolved = {k: get_spec(v) for k, v in self.cfg.specs.items()}
+        self.session_mode = self.cfg.session_gap_s is not None
         self.needed, self.u_order, self.w_order = canonical_sums_for(
             self.resolved.values()
         )
+        self.token_outputs: dict[str, tuple] = {}
+        if self.cfg.token_stats:
+            # token-value statistics finalize from t_* sums through the
+            # same registered finalizers (canonical columns remapped)
+            self.needed = tuple(self.needed) + ("t_n", "t_s1", "t_s2", "t_s3", "t_s4")
+            self.token_outputs = {
+                "tok_mean": (get_spec("weighted_average"), ("t_s1", "t_n")),
+                "tok_std": (get_spec("stddev_weighted"), ("t_s1", "t_n", "t_s2")),
+                "tok_skew": (get_spec("skewness"), ("t_n", "t_s1", "t_s2", "t_s3")),
+                "tok_kurt": (get_spec("kurtosis"), ("t_n", "t_s1", "t_s2", "t_s3", "t_s4")),
+            }
         self.sink = ExactlyOnceParquetSink(out_dir, "agg")
         self.pass_sink = (
             ExactlyOnceParquetSink(out_dir, "passthrough")
@@ -157,6 +314,7 @@ class StreamDriver:
         self.join = MetadataJoin(self.cfg.join_grace_epochs)
         self.metrics: dict[str, dict] = {}
         self.actors: list | None = None
+        self._ingest_expected = 0  # total ingest calls submitted so far
 
     # -- epochs ------------------------------------------------------------
 
@@ -170,10 +328,42 @@ class StreamDriver:
 
     def _ensure_actors(self):
         if self.actors is None:
-            self.actors = [
-                StatePartition.remote(p, list(self.needed), self.cfg.window_size_s)
-                for p in range(self.cfg.n_partitions)
-            ]
+            if self.session_mode:
+                self.actors = [
+                    SessionStatePartition.remote(
+                        p, list(self.needed), self.cfg.session_gap_s
+                    )
+                    for p in range(self.cfg.n_partitions)
+                ]
+            else:
+                self.actors = [
+                    StatePartition.remote(p, list(self.needed), self.cfg.window_size_s)
+                    for p in range(self.cfg.n_partitions)
+                ]
+
+    def _ingest_barrier(self, timeout_s: float = 600.0):
+        """Wait until every submitted (fire-and-forget) ingest has been
+        applied: actors' ingest counters must reach the submitted-call
+        total.  Required before closing windows for this epoch."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            done = sum(ray.get([a.ingest_count.remote() for a in self.actors]))
+            if done >= self._ingest_expected:
+                return
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"ingest barrier: {done}/{self._ingest_expected} applied"
+                )
+            _time.sleep(0.02)
+
+    def prepare(self):
+        """Provision the state-actor pool and wait until every actor is
+        live (setup; excluded from throughput timing in bench)."""
+        self._ensure_actors()
+        ray.get([a.get_metrics.remote() for a in self.actors])
+        return self
 
     # -- checkpoint / resume ----------------------------------------------
 
@@ -247,17 +437,34 @@ class StreamDriver:
         files = sorted(
             glob.glob(os.path.join(self.input_dir, f"arrival={epoch}", "*.parquet"))
         )
-        return rd.read_parquet(files) if files else None
+        if not files:
+            return None
+        # Bytes-aware block count: the default planner splits tiny epochs
+        # into ctx.read_op_min_num_blocks (200) slivers, and per-task
+        # overhead then dominates epoch latency; conversely a tail epoch
+        # of a few KB should be ONE task, not one per CPU.
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        nblocks = min(
+            max(1, total_bytes // (2 * 1024 * 1024)), max(len(files), ncpu)
+        )
+        return rd.read_parquet(files, override_num_blocks=int(nblocks))
 
     def _run_epoch(self, epoch: int):
         ds = self._epoch_dataset(epoch)
         wm_at_ingest = self.watermark_s  # late-drop predicate for BOTH sinks
         em = {"rows_in": 0, "late_dropped": 0, "partial_rows": 0, "max_ts_us": -1}
         if ds is not None:
-            fn = _partial_stage(
-                self.cfg, self.needed, self.u_order, self.w_order, self.watermark_s
-            )
-            router = Router(self.actors, self.cfg.n_partitions, fn)
+            if self.session_mode:
+                fn = _session_partial_stage(
+                    self.cfg, self.needed, self.u_order, self.w_order, self.watermark_s
+                )
+                router = SessionRouter(self.actors, self.cfg.n_partitions, fn)
+            else:
+                fn = _partial_stage(
+                    self.cfg, self.needed, self.u_order, self.w_order, self.watermark_s
+                )
+                router = Router(self.actors, self.cfg.n_partitions, fn)
             kwargs = {"batch_format": "pyarrow"}
             if self.cfg.batch_size:
                 kwargs["batch_size"] = self.cfg.batch_size
@@ -268,6 +475,8 @@ class StreamDriver:
                 em["late_dropped"] = int(stats["late_dropped"].sum())
                 em["partial_rows"] = int(stats["partial_rows"].sum())
                 em["max_ts_us"] = int(stats["max_ts_us"].max())
+                self._ingest_expected += int(stats["ingest_calls"].sum())
+            self._ingest_barrier()
         if em["max_ts_us"] >= 0:
             self.watermark_s = max(
                 self.watermark_s,
@@ -286,10 +495,13 @@ class StreamDriver:
         watermark in force at ingest), token arrays byte-identical
         (pure Arrow filter, no rewrite)."""
         size_s = self.cfg.window_size_s
+        session = self.session_mode
 
         def keep(batch: pa.Table) -> pa.Table:
             ids = numeric_doc_id(batch["doc_id"])
             ts_s = event_time_us_from_numeric(ids) // 1_000_000
+            if session:
+                return batch.filter(pa.array(ts_s > wm))
             ws = (ts_s // size_s) * size_s
             return batch.filter(pa.array((ws + size_s) > wm))
 
@@ -305,34 +517,48 @@ class StreamDriver:
                 sub["source"].to_pylist(), sub["quality"].to_pylist()
             )
 
-    def _emit(self, epoch: int, watermark_s: int):
-        self._ingest_metadata(epoch)
-        closed = ray.get(
-            [a.close_windows.remote(watermark_s) for a in self.actors]
-        )
+    def _close_and_finalize(self, watermark_s: int) -> pd.DataFrame:
+        """Pop closed state from every actor, merge partials (cross-salt
+        field-wise add for keyed windows; sessions arrive pre-merged),
+        and evaluate every spec vectorized."""
+        closed = ray.get([a.close_windows.remote(watermark_s) for a in self.actors])
         tbl = pa.concat_tables(closed)
-        if tbl.num_rows:
-            df = tbl.to_pandas()
-            # cross-salt / cross-actor merge: field-wise sum (== merge())
+        if not tbl.num_rows:
+            return pd.DataFrame(
+                columns=["source", "window_start", "window_end", *self.resolved,
+                         *self.token_outputs, "n_rows"]
+            )
+        df = tbl.to_pandas()
+        if self.session_mode:
+            merged = df.rename(
+                columns={"session_start_us": "window_start", "session_end_us": "window_end"}
+            )
+        else:
             merged = df.groupby(["source", "window_start"], as_index=False)[
                 list(self.needed)
             ].sum()
-            cols = {c: merged[c].to_numpy() for c in self.needed}
-            out = merged[["source", "window_start"]].copy()
-            out["window_end"] = out["window_start"] + self.cfg.window_size_s
-            for name, spec in self.resolved.items():
-                out[name] = np.atleast_1d(spec.finalize_arrays(cols))
-            out["n_rows"] = cols["u_n"].astype(np.int64) if "u_n" in cols else 0
-        else:
-            out = pd.DataFrame(
-                columns=["source", "window_start", "window_end", *self.resolved, "n_rows"]
+            merged["window_end"] = merged["window_start"] + self.cfg.window_size_s
+        cols = {c: merged[c].to_numpy() for c in self.needed}
+        out = merged[["source", "window_start", "window_end"]].copy()
+        for name, spec in self.resolved.items():
+            out[name] = np.atleast_1d(spec.finalize_arrays(cols))
+        for name, (spec, src_cols) in self.token_outputs.items():
+            remap = dict(zip(spec.canonical, src_cols))
+            out[name] = np.atleast_1d(
+                spec.finalize_arrays({k: cols[v] for k, v in remap.items()})
             )
-        emitted = self.join.process(out, epoch)
+        out["n_rows"] = cols["u_n"].astype(np.int64) if "u_n" in cols else 0
+        if self.session_mode:
+            out["window_start"] = out["window_start"].astype(np.int64)
+            out["window_end"] = out["window_end"].astype(np.int64)
+        return out
+
+    def _commit_emitted(self, epoch: int, emitted: pd.DataFrame):
         if len(emitted) == 0:
             emitted = pd.DataFrame(
                 columns=[
                     "source", "window_start", "window_end", *self.resolved,
-                    "n_rows", "quality",
+                    *self.token_outputs, "n_rows", "quality",
                 ]
             )
         emitted["epoch"] = epoch
@@ -342,42 +568,18 @@ class StreamDriver:
             sort_by=["source", "window_start"],
         )
 
+    def _emit(self, epoch: int, watermark_s: int):
+        self._ingest_metadata(epoch)
+        out = self._close_and_finalize(watermark_s)
+        self._commit_emitted(epoch, self.join.process(out, epoch))
+
     def _finalize_stream(self, final_epoch: int):
-        closed = ray.get(
-            [a.close_windows.remote(2**62) for a in self.actors]
-        )
-        tbl = pa.concat_tables(closed)
-        if tbl.num_rows:
-            df = tbl.to_pandas()
-            merged = df.groupby(["source", "window_start"], as_index=False)[
-                list(self.needed)
-            ].sum()
-            cols = {c: merged[c].to_numpy() for c in self.needed}
-            out = merged[["source", "window_start"]].copy()
-            out["window_end"] = out["window_start"] + self.cfg.window_size_s
-            for name, spec in self.resolved.items():
-                out[name] = np.atleast_1d(spec.finalize_arrays(cols))
-            out["n_rows"] = cols["u_n"].astype(np.int64) if "u_n" in cols else 0
-        else:
-            out = pd.DataFrame(
-                columns=["source", "window_start", "window_end", *self.resolved, "n_rows"]
-            )
+        out = self._close_and_finalize(2**62)
         emitted = self.join.process(out, final_epoch)
         tail = self.join.flush_all()
-        emitted = pd.concat([emitted, tail], ignore_index=True) if len(tail) else emitted
-        if len(emitted) == 0:
-            emitted = pd.DataFrame(
-                columns=[
-                    "source", "window_start", "window_end", *self.resolved,
-                    "n_rows", "quality",
-                ]
-            )
-        emitted["epoch"] = final_epoch
-        self.sink.commit(
-            final_epoch,
-            pa.Table.from_pandas(emitted, preserve_index=False),
-            sort_by=["source", "window_start"],
-        )
+        if len(tail):
+            emitted = pd.concat([emitted, tail], ignore_index=True)
+        self._commit_emitted(final_epoch, emitted)
         self.final_metrics = {
             "epoch": final_epoch,
             "state_metrics": ray.get([a.get_metrics.remote() for a in self.actors]),

@@ -54,6 +54,9 @@ class StatePartition:
         self.state: dict[tuple, np.ndarray] = {}
         self.metrics = {"partial_rows_in": 0, "ingests": 0, "windows_closed": 0}
 
+    def ingest_count(self) -> int:
+        return self.metrics["ingests"]
+
     def ingest(self, table: pa.Table) -> int:
         """Merge a partial-sums table (cols: source, salt, window_start,
         *sum_cols).  Field-wise addition == the reference's merge()."""
@@ -109,6 +112,9 @@ class StatePartition:
     def get_metrics(self) -> dict:
         return {"partition": self.pid, **self.metrics, "live_groups": len(self.state)}
 
+    def get_state_size(self) -> int:
+        return len(self.state)
+
     # -- checkpoint / restore ---------------------------------------------
 
     def snapshot(self, ckpt_dir: str, epoch: int) -> str:
@@ -154,9 +160,11 @@ class Router:
     StatePartition actor, and emits one bookkeeping row per batch
     (max event ts seen, late-drop count, raw row count) for the
     driver's watermark/metrics.  Fused into ONE stage so bookkeeping
-    never crosses a rebatching boundary.  Blocking on the ingest acks
-    inside __call__ guarantees that when the epoch pipeline has
-    drained, all state mutations have been applied."""
+    never crosses a rebatching boundary.  Ingests are fire-and-forget
+    (blocking in ray.get inside tasks makes the raylet oversubscribe
+    with fresh worker processes); the driver barriers at epoch end by
+    polling the actors' ingest counters against the submitted-call
+    count summed from the bookkeeping rows."""
 
     def __init__(self, actors: list, n_partitions: int, partial_fn):
         self.actors = actors
@@ -168,22 +176,178 @@ class Router:
         max_ts = info["max_ts_us"]
         late = info["late_dropped"]
         rows_in = info["rows_in"]
+        calls = 0
         if partial.num_rows:
             part = route_partition(
                 np.asarray(partial["source"].to_pylist()),
                 partial["salt"].to_numpy(zero_copy_only=False),
                 self.P,
             )
-            acks = []
             for p in np.unique(part):
                 sub = partial.filter(pa.array(part == p))
-                acks.append(self.actors[int(p)].ingest.remote(sub))
-            ray.get(acks)
+                self.actors[int(p)].ingest.remote(sub)
+                calls += 1
         return pa.table(
             {
                 "max_ts_us": pa.array([max_ts], pa.int64()),
                 "late_dropped": pa.array([late], pa.int64()),
                 "rows_in": pa.array([rows_in], pa.int64()),
                 "partial_rows": pa.array([partial.num_rows], pa.int64()),
+                "ingest_calls": pa.array([calls], pa.int64()),
+            }
+        )
+
+
+@ray.remote(num_cpus=0)
+class SessionStatePartition:
+    """Session-window state store: per-source lists of open partial
+    sessions ``[start_us, end_us, sums...]`` merged by the gap rule.
+
+    Sessions are NOT salted: one source's session state must be
+    contiguous to merge correctly (ksqlDB likewise processes one key in
+    one partition).  This is exactly the case where the reference's
+    ``merge()`` on overlapping partials is load-bearing (SESSION windows
+    merge partial aggregates, SURVEY.md §2.2)."""
+
+    def __init__(self, partition_id: int, sum_cols: list[str], gap_s: int):
+        self.pid = partition_id
+        self.sum_cols = list(sum_cols)
+        self.gap_us = int(gap_s) * 1_000_000
+        self.state: dict[str, np.ndarray] = {}  # source -> (k, 2+S) array
+        self.metrics = {"partial_rows_in": 0, "ingests": 0, "sessions_closed": 0}
+
+    def ingest_count(self) -> int:
+        return self.metrics["ingests"]
+
+    def _merge_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Interval-merge sorted-by-start rows (start, end, sums...)."""
+        order = np.argsort(rows[:, 0], kind="stable")
+        rows = rows[order]
+        out = [rows[0].copy()]
+        for r in rows[1:]:
+            cur = out[-1]
+            if r[0] - cur[1] <= self.gap_us:
+                cur[1] = max(cur[1], r[1])
+                cur[2:] += r[2:]
+            else:
+                out.append(r.copy())
+        return np.stack(out)
+
+    def ingest(self, table: pa.Table) -> int:
+        """Merge a partial-sessions table (cols: source,
+        session_start_us, session_end_us, *sum_cols)."""
+        n = table.num_rows
+        if n:
+            src = table["source"].to_pylist()
+            arr = np.column_stack(
+                [table["session_start_us"].to_numpy(zero_copy_only=False).astype(np.float64),
+                 table["session_end_us"].to_numpy(zero_copy_only=False).astype(np.float64)]
+                + [table[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                   for c in self.sum_cols]
+            )
+            import collections
+
+            by_src = collections.defaultdict(list)
+            for i, s in enumerate(src):
+                by_src[s].append(i)
+            for s, idx in by_src.items():
+                rows = arr[idx]
+                cur = self.state.get(s)
+                allr = rows if cur is None else np.vstack([cur, rows])
+                self.state[s] = self._merge_rows(allr)
+        self.metrics["partial_rows_in"] += n
+        self.metrics["ingests"] += 1
+        return n
+
+    def close_windows(self, watermark_s: int) -> pa.Table:
+        """Pop sessions that can no longer be extended:
+        end + gap <= watermark."""
+        wm_us = watermark_s * 1_000_000
+        out_src, out_rows = [], []
+        for s in list(self.state):
+            rows = self.state[s]
+            closed = rows[:, 1] + self.gap_us <= wm_us
+            if closed.any():
+                for r in rows[closed]:
+                    out_src.append(s)
+                    out_rows.append(r)
+                rest = rows[~closed]
+                if len(rest):
+                    self.state[s] = rest
+                else:
+                    del self.state[s]
+        self.metrics["sessions_closed"] += len(out_rows)
+        cols = ["session_start_us", "session_end_us"] + self.sum_cols
+        if not out_rows:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 **{c: pa.array([], pa.float64()) for c in cols}}
+            )
+        m = np.stack(out_rows)
+        return pa.table(
+            {"source": pa.array(out_src, pa.string()),
+             **{c: pa.array(m[:, j]) for j, c in enumerate(cols)}}
+        )
+
+    def get_metrics(self) -> dict:
+        return {"partition": self.pid, **self.metrics, "live_sources": len(self.state)}
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        srcs, rows = [], []
+        for s in sorted(self.state):
+            for r in self.state[s]:
+                srcs.append(s)
+                rows.append(r)
+        cols = ["session_start_us", "session_end_us"] + self.sum_cols
+        m = np.stack(rows) if rows else np.zeros((0, len(cols)))
+        t = pa.table(
+            {"source": pa.array(srcs, pa.string()),
+             **{c: pa.array(m[:, j]) for j, c in enumerate(cols)}}
+        )
+        path = os.path.join(ckpt_dir, f"sess-p{self.pid:04d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        path = os.path.join(ckpt_dir, f"sess-p{self.pid:04d}.parquet")
+        self.state = {}
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        if t.num_rows:
+            self.ingest(t)
+        return t.num_rows
+
+
+class SessionRouter:
+    """Fused partial-session + route stage: builds within-batch partial
+    sessions per source and pushes them to the owning session actor
+    (hash on source alone)."""
+
+    def __init__(self, actors: list, n_partitions: int, partial_fn):
+        self.actors = actors
+        self.P = n_partitions
+        self.partial_fn = partial_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        partial, info = self.partial_fn(batch)
+        calls = 0
+        if partial.num_rows:
+            src = np.asarray(partial["source"].to_pylist())
+            part = route_partition(src, np.zeros(len(src), dtype=np.int64), self.P)
+            for p in np.unique(part):
+                sub = partial.filter(pa.array(part == p))
+                self.actors[int(p)].ingest.remote(sub)
+                calls += 1
+        return pa.table(
+            {
+                "max_ts_us": pa.array([info["max_ts_us"]], pa.int64()),
+                "late_dropped": pa.array([info["late_dropped"]], pa.int64()),
+                "rows_in": pa.array([info["rows_in"]], pa.int64()),
+                "partial_rows": pa.array([partial.num_rows], pa.int64()),
+                "ingest_calls": pa.array([calls], pa.int64()),
             }
         )

@@ -212,3 +212,81 @@ def test_checkpoint_files_exist(run_out):
     st = json.load(open(os.path.join(last, "driver.json")))
     assert "watermark_s" in st and "join" in st and "metrics" in st
     assert glob.glob(os.path.join(last, "state-p*.parquet"))
+
+
+def test_streaming_session_windows_match_batch(ray_session, fixture_dir):
+    """Streaming session mode (gap rule, per-source actors) must equal
+    the batch session_moments result when lateness is large enough that
+    nothing drops."""
+    import ray.data as rd
+
+    from raystat.aggregate import session_moments
+    from raystat.extract import add_event_time
+
+    out = "/tmp/rs_pytest_session"
+    shutil.rmtree(out, ignore_errors=True)
+    gap = 1800
+    cfg = StreamConfig(
+        specs={"wavg": "weighted_average", "wstd": "stddev_weighted"},
+        session_gap_s=gap,
+        allowed_lateness_s=10 * LATENESS_S,  # nothing ever drops
+        n_partitions=4,
+    )
+    drv = StreamDriver(fixture_dir, out, cfg)
+    m = drv.run()
+    got = (
+        drv.result_table()
+        .to_pandas()
+        .sort_values(["source", "window_start"], ignore_index=True)
+    )
+    assert sum(e["late_dropped"] for e in m["epochs"].values()) == 0
+
+    files = sorted(glob.glob(os.path.join(fixture_dir, "arrival=*", "*.parquet")))
+    ds = rd.read_parquet(files).map_batches(add_event_time, batch_format="pyarrow")
+    exp = (
+        session_moments(
+            ds,
+            {"wavg": "weighted_average", "wstd": "stddev_weighted"},
+            ["source"],
+            value="n_tok",
+            weight="n_tok",
+            ts="ts",
+            gap_s=gap,
+        )
+        .to_pandas()
+        .sort_values(["source", "session_start_us"], ignore_index=True)
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["window_start"], exp["session_start_us"])
+    np.testing.assert_array_equal(got["window_end"], exp["session_end_us"])
+    np.testing.assert_allclose(got["wavg"], exp["wavg"], rtol=1e-9)
+    np.testing.assert_allclose(got["wstd"], exp["wstd"], rtol=1e-9)
+
+
+def test_streaming_token_value_stats(ray_session, fixture_dir, replay):
+    """token_stats mode: per-window moments over every token id must
+    match a pandas replay over the accepted rows' flattened tokens."""
+    out = "/tmp/rs_pytest_tok"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = make_cfg(token_stats=True, passthrough=False)
+    drv = StreamDriver(fixture_dir, out, cfg)
+    drv.run()
+    res = drv.result_table().to_pandas()
+    assert {"tok_mean", "tok_std", "tok_skew", "tok_kurt"} <= set(res.columns)
+
+    df, _ = replay
+    acc = df[df["accepted"]]
+    src = pq.read_table(
+        sorted(glob.glob(os.path.join(fixture_dir, "arrival=*", "*.parquet")))
+    ).to_pandas().set_index("doc_id")
+    # replay token moments for a sample of windows
+    sample = res.sample(n=min(40, len(res)), random_state=11)
+    for _, r in sample.iterrows():
+        ids = acc[(acc["source"] == r["source"]) & (acc["ws"] == r["window_start"])][
+            "doc_id"
+        ]
+        toks = np.concatenate([np.asarray(src.loc[i, "tokens"]) for i in ids]).astype(
+            float
+        )
+        assert r["tok_mean"] == pytest.approx(toks.mean(), rel=1e-9)
+        assert r["tok_std"] == pytest.approx(toks.std(), rel=1e-6)
