@@ -200,10 +200,14 @@ def scaling(repeats: int = 3) -> None:
     32-CPU runs measured 31s and 174s); min wall time over interleaved
     repeats is the noise-robust estimator.  All raw samples are
     reported alongside the mins."""
-    samples: dict[int, list[float]] = {8: [], 32: []}
+    levels = tuple(
+        int(x) for x in os.environ.get("RAYSTAT_SCALING_LEVELS", "8,32").split(",")
+    )
+    lo, hi = levels
+    samples: dict[int, list[float]] = {lo: [], hi: []}
     res = {}
     for _ in range(repeats):
-        for ncpu in (8, 32):
+        for ncpu in levels:
             env = dict(
                 os.environ, RAY_GRAFT_CPUS=str(ncpu), RAYSTAT_BENCH_HEADLINE_ONLY="1"
             )
@@ -215,18 +219,19 @@ def scaling(repeats: int = 3) -> None:
             samples[ncpu].append(r["value"])
             if ncpu not in res or r["value"] < res[ncpu]["value"]:
                 res[ncpu] = r
-    t8, t32 = res[8]["value"], res[32]["value"]
+    t_lo, t_hi = res[lo]["value"], res[hi]["value"]
+    ratio = hi / lo
     print(
         json.dumps(
             {
-                "sec_8": t8,
-                "sec_32": t32,
-                "seq_per_sec_8": round(res[8]["sequences"] / t8, 1),
-                "seq_per_sec_32": round(res[32]["sequences"] / t32, 1),
-                "scaling_efficiency": round((t8 / t32) / 4.0, 3),
-                "sequences": res[32]["sequences"],
-                "samples_sec_8": samples[8],
-                "samples_sec_32": samples[32],
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"seq_per_sec_{lo}": round(res[lo]["sequences"] / t_lo, 1),
+                f"seq_per_sec_{hi}": round(res[hi]["sequences"] / t_hi, 1),
+                "scaling_efficiency": round((t_lo / t_hi) / ratio, 3),
+                "sequences": res[hi]["sequences"],
+                f"samples_sec_{lo}": samples[lo],
+                f"samples_sec_{hi}": samples[hi],
             }
         )
     )
