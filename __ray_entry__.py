@@ -34,6 +34,8 @@ def _register_by_value() -> None:
 
     mods = [raystat]
     for m in pkgutil.walk_packages(raystat.__path__, "raystat."):
+        if m.name.endswith("__main__"):
+            continue  # the CLI module runs argparse on import
         try:
             mods.append(importlib.import_module(m.name))
         except ImportError:

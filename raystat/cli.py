@@ -1,0 +1,76 @@
+"""CLI entrypoint — the ``ray job submit`` surface (SURVEY.md §3.3):
+
+    ray job submit -- python -m raystat --input <arrival-dir> --out <dir>
+
+Owns a Ray session only when run standalone (guarded init); never
+re-inits inside a driver-managed session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="raystat",
+        description="Streaming windowed statistics over an arrival-partitioned token stream",
+    )
+    p.add_argument("--input", required=True, help="dir with arrival=N/*.parquet")
+    p.add_argument("--out", required=True, help="output dir (sinks + checkpoints)")
+    p.add_argument("--window", type=int, default=3600, help="tumbling size (s)")
+    p.add_argument("--hop", type=int, default=None, help="hop (s) => hopping windows")
+    p.add_argument("--session-gap", type=int, default=None, help="gap (s) => session windows")
+    p.add_argument("--lateness", type=int, default=1800, help="allowed lateness (s)")
+    p.add_argument("--partitions", type=int, default=32, help="state-store actors")
+    p.add_argument("--salts", type=int, default=8, help="salt buckets per source")
+    p.add_argument("--batch-size", type=int, default=32768)
+    p.add_argument("--token-stats", action="store_true", help="also token-value moments")
+    p.add_argument("--passthrough", action="store_true", help="exact per-row passthrough sink")
+    p.add_argument("--emit-changes", action="store_true", help="EMIT CHANGES changelog sink")
+    p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone only)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from raystat.streaming import StreamConfig, StreamDriver
+
+    cfg = StreamConfig(
+        window_size_s=args.window,
+        hop_s=args.hop,
+        session_gap_s=args.session_gap,
+        allowed_lateness_s=args.lateness,
+        n_partitions=args.partitions,
+        n_salts=args.salts,
+        batch_size=args.batch_size,
+        token_stats=args.token_stats,
+        passthrough=args.passthrough,
+        emit_changes=args.emit_changes,
+    )
+    drv = StreamDriver(args.input, args.out, cfg)
+    metrics = drv.run(resume=args.resume)
+    json.dump(metrics, sys.stdout)
+    print()
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

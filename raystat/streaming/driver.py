@@ -80,6 +80,8 @@ class StreamConfig:
     join_grace_epochs: int = 2
     batch_size: int | None = None
     passthrough: bool = False
+    emit_changes: bool = False  # ksqlDB EMIT CHANGES: also commit the
+    #   finalized value of every LIVE (not yet closed) window each epoch
     token_stats: bool = False  # also compute per-token-id moment stats
     #   (value = every token id in `tokens`); tumbling windows only
     tokens_col: str = "tokens" 
@@ -308,6 +310,11 @@ class StreamDriver:
             if self.cfg.passthrough
             else None
         )
+        self.changes_sink = (
+            ExactlyOnceParquetSink(out_dir, "changes")
+            if self.cfg.emit_changes
+            else None
+        )
         self.ckpt_root = os.path.join(out_dir, "_checkpoints")
         os.makedirs(self.ckpt_root, exist_ok=True)
         self.watermark_s = -(2**62)
@@ -522,7 +529,10 @@ class StreamDriver:
         field-wise add for keyed windows; sessions arrive pre-merged),
         and evaluate every spec vectorized."""
         closed = ray.get([a.close_windows.remote(watermark_s) for a in self.actors])
-        tbl = pa.concat_tables(closed)
+        return self._finalize_tables(closed)
+
+    def _finalize_tables(self, tables: list) -> pd.DataFrame:
+        tbl = pa.concat_tables(tables)
         if not tbl.num_rows:
             return pd.DataFrame(
                 columns=["source", "window_start", "window_end", *self.resolved,
@@ -572,6 +582,16 @@ class StreamDriver:
         self._ingest_metadata(epoch)
         out = self._close_and_finalize(watermark_s)
         self._commit_emitted(epoch, self.join.process(out, epoch))
+        if self.changes_sink is not None:
+            live = self._finalize_tables(
+                ray.get([a.peek_state.remote() for a in self.actors])
+            )
+            live["epoch"] = epoch
+            self.changes_sink.commit(
+                epoch,
+                pa.Table.from_pandas(live, preserve_index=False),
+                sort_by=["source", "window_start"],
+            )
 
     def _finalize_stream(self, final_epoch: int):
         out = self._close_and_finalize(2**62)

@@ -115,6 +115,29 @@ class StatePartition:
     def get_state_size(self) -> int:
         return len(self.state)
 
+    def peek_state(self) -> pa.Table:
+        """Non-destructive snapshot of ALL live state (EMIT CHANGES:
+        finalize may be applied repeatedly to intermediate state)."""
+        keys = list(self.state)
+        if not keys:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "salt": pa.array([], pa.int64()),
+                    "window_start": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.float64()) for c in self.sum_cols},
+                }
+            )
+        rows = np.stack([self.state[k] for k in keys])
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "salt": pa.array([k[1] for k in keys], pa.int64()),
+                "window_start": pa.array([k[2] for k in keys], pa.int64()),
+                **{c: pa.array(rows[:, j]) for j, c in enumerate(self.sum_cols)},
+            }
+        )
+
     # -- checkpoint / restore ---------------------------------------------
 
     def snapshot(self, ckpt_dir: str, epoch: int) -> str:
@@ -291,6 +314,20 @@ class SessionStatePartition:
 
     def get_metrics(self) -> dict:
         return {"partition": self.pid, **self.metrics, "live_sources": len(self.state)}
+
+    def peek_state(self) -> pa.Table:
+        """Non-destructive snapshot of all live sessions."""
+        srcs, rows = [], []
+        for src in sorted(self.state):
+            for r in self.state[src]:
+                srcs.append(src)
+                rows.append(r)
+        cols = ["session_start_us", "session_end_us"] + self.sum_cols
+        m = np.stack(rows) if rows else np.zeros((0, len(cols)))
+        return pa.table(
+            {"source": pa.array(srcs, pa.string()),
+             **{c: pa.array(m[:, j]) for j, c in enumerate(cols)}}
+        )
 
     def snapshot(self, ckpt_dir: str, epoch: int) -> str:
         os.makedirs(ckpt_dir, exist_ok=True)

@@ -290,3 +290,22 @@ def test_streaming_token_value_stats(ray_session, fixture_dir, replay):
         )
         assert r["tok_mean"] == pytest.approx(toks.mean(), rel=1e-9)
         assert r["tok_std"] == pytest.approx(toks.std(), rel=1e-6)
+
+
+def test_emit_changes_incremental(ray_session, fixture_dir):
+    """EMIT CHANGES: live windows are finalized non-destructively each
+    epoch; per-(source,window) n_rows is non-decreasing over epochs and
+    bounded by the final closed value."""
+    out = "/tmp/rs_pytest_changes"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = make_cfg(emit_changes=True, passthrough=False)
+    drv = StreamDriver(fixture_dir, out, cfg)
+    drv.run()
+    final = drv.result_table().to_pandas().set_index(["source", "window_start"])
+    changes = drv.changes_sink.read_all().to_pandas()
+    assert len(changes) > 0
+    grp = changes.sort_values("epoch").groupby(["source", "window_start"])["n_rows"]
+    assert (grp.apply(lambda s: bool(s.is_monotonic_increasing))).all()
+    for (src, ws), n in grp.max().items():
+        if (src, ws) in final.index:
+            assert n <= final.loc[(src, ws), "n_rows"]
