@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raystat.accumulators import AggregatorSpec, canonical_sums_for, get_spec
+from raystat.scratch import buf
 from raystat.windows import Hopping, Session, Tumbling, assign_windows, ts_to_epoch_us
 
 __all__ = ["grouped_moments", "session_moments", "partial_sums"]
@@ -55,8 +56,6 @@ def partial_sums(
     ``x``/``w`` are float64 arrays with nulls already removed.
     Returns one row per distinct group with canonical sum columns.
     """
-    from raystat.scratch import buf
-
     n = x.size
     arrays: dict[str, np.ndarray] = {}
     # power columns go into named per-worker scratch buffers: fresh
