@@ -83,33 +83,82 @@ class StreamConfig:
     emit_changes: bool = False  # ksqlDB EMIT CHANGES: also commit the
     #   finalized value of every LIVE (not yet closed) window each epoch
     token_stats: bool = False  # also compute per-token-id moment stats
-    #   (value = every token id in `tokens`); tumbling windows only
-    tokens_col: str = "tokens" 
+    #   (value = every token id in `tokens`); all window modes
+    tokens_col: str = "tokens"
+
+
+def _row_token_sums(batch: pa.Table, tokens_col: str, rows_in: int) -> dict[str, np.ndarray]:
+    """Per-ROW token power sums (t_n, t_s1..t_s4) over the original
+    batch rows: flatten zero-copy, bincount by list_parent_indices.
+    Row-level sums compose additively into any window assignment
+    (tumbling / hopping expansion / sessions) without re-touching the
+    token arrays — a hopping row contributes its precomputed sums once
+    per covering window instead of re-flattening tokens per window."""
+    import pyarrow.compute as pc
+
+    tok_col = batch[tokens_col].combine_chunks()
+    flat_raw = pc.list_flatten(tok_col).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(tok_col).to_numpy(zero_copy_only=False)
+    nt = flat_raw.size
+    flat = astype_f8("flat", flat_raw)
+    tr: dict[str, np.ndarray] = {
+        "t_n": np.bincount(parents, minlength=rows_in).astype(np.float64),
+        "t_s1": np.bincount(parents, weights=flat, minlength=rows_in),
+    }
+    tp = buf("tpow", nt)
+    np.copyto(tp, flat)
+    for i in range(2, 5):
+        np.multiply(tp, flat, out=tp)
+        tr[f"t_s{i}"] = np.bincount(parents, weights=tp, minlength=rows_in)
+    return tr
 
 
 def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int):
     """Fused per-batch extraction + windowing + late-drop + partial
-    aggregation.  Group keys are integer-factorized (source dictionary
-    code, salt, window_start) and every power sum is an
-    ``np.bincount`` over the group index — no string shuffling, no
-    per-row Python.  With ``token_stats`` the token lists are flattened
-    zero-copy and token-level sums (t_n, t_s1..t_s4) accumulate into
-    the same groups via ``group_index[list_parent_indices]``."""
+    aggregation.  Group keys (source dictionary code, salt,
+    window_start) are factorized through a dense composite integer key
+    ``(src*S + salt)*W + win`` — when the key domain is small (the
+    common case: sources x salts x open windows), every power sum is a
+    direct ``np.bincount`` over the dense key with NO sort at all; a
+    1-D ``np.unique`` fallback covers high-cardinality domains.  A row
+    is counted late iff ALL its covering windows are closed (same unit
+    as ``rows_in`` and the passthrough predicate)."""
     import pyarrow.compute as pc
 
     size_s = cfg.window_size_s
     hop_s = cfg.hop_s
+    step = hop_s if hop_s is not None else size_s
     value_col, weight_col, n_salts = cfg.value_col, cfg.weight_col, cfg.n_salts
     token_stats = cfg.token_stats
-    if token_stats and hop_s is not None:
-        raise ValueError("token_stats currently supports tumbling windows only")
+    t_cols = ("t_n", "t_s1", "t_s2", "t_s3", "t_s4")
+
+    def empty_table() -> pa.Table:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "salt": pa.array([], pa.int64()),
+                "window_start": pa.array([], pa.int64()),
+                **{
+                    c: pa.array([], pa.int64() if c == "u_n" else pa.float64())
+                    for c in needed
+                },
+            }
+        )
 
     def fn(batch: pa.Table) -> tuple[pa.Table, dict]:
         rows_in = batch.num_rows
         ids = numeric_doc_id(batch["doc_id"])
         ts_us = event_time_us_from_numeric(ids)
         max_ts = int(ts_us.max()) if rows_in else -1
+        info = {"max_ts_us": max_ts, "rows_in": rows_in}
         ts_s = ts_us // 1_000_000
+        # late iff the row's LATEST covering window is closed (tumbling:
+        # its only window; hopping: window starting at (ts//hop)*hop)
+        k_last = ts_s // step
+        row_keep = (k_last * step + size_s) > watermark_s
+        late_n = rows_in - int(row_keep.sum())
+        info["late_dropped"] = late_n
+
         salt = (ids % n_salts).astype(np.int64)
         src_dict = pc.dictionary_encode(batch["source"].combine_chunks())
         src_code = src_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -120,96 +169,105 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
             if weight_col is not None
             else None
         )
-        tok_col = batch[cfg.tokens_col].combine_chunks() if token_stats else None
-        row_idx = None  # hopping expansion map
+        tr = _row_token_sums(batch, cfg.tokens_col, rows_in) if token_stats else None
+        if late_n:
+            kept = np.flatnonzero(row_keep)
+            ts_s, salt, src_code, x, k_last = (
+                ts_s[kept], salt[kept], src_code[kept], x[kept], k_last[kept]
+            )
+            w = w[kept] if w is not None else None
+            if tr is not None:
+                tr = {c: v[kept] for c, v in tr.items()}
+        n_rows_kept = x.size
+        if n_rows_kept == 0:
+            return empty_table(), info
+
         if hop_s is None:
-            ws = (ts_s // size_s) * size_s
+            ws = k_last * size_s
+            row_of = None  # group rows == kept rows
+            g_src, g_salt, g_x, g_w = src_code, salt, x, w
         else:
-            k_max = ts_s // hop_s
+            # expand each row to its open covering windows
             k_min = (ts_s - size_s) // hop_s + 1
-            counts = (k_max - k_min + 1).astype(np.int64)
-            row_idx = np.repeat(np.arange(rows_in, dtype=np.int64), counts)
-            offs = np.arange(row_idx.size, dtype=np.int64) - np.repeat(
+            counts = (k_last - k_min + 1).astype(np.int64)
+            row_of = np.repeat(np.arange(n_rows_kept, dtype=np.int64), counts)
+            offs = np.arange(row_of.size, dtype=np.int64) - np.repeat(
                 np.cumsum(counts) - counts, counts
             )
             ws = (np.repeat(k_min, counts) + offs) * hop_s
-            src_code = src_code[row_idx]
-            salt = salt[row_idx]
-            x = x[row_idx]
-            w = w[row_idx] if w is not None else None
-        keep = (ws + size_s) > watermark_s  # drop fully-closed windows
-        late_n = int((~keep).sum())
-        kept_row_of_orig = None
-        if late_n:
-            src_code, salt, ws, x = src_code[keep], salt[keep], ws[keep], x[keep]
-            w = w[keep] if w is not None else None
-            if token_stats:
-                kept_row_of_orig = np.cumsum(keep) - 1  # orig row -> kept pos
-        n_kept = x.size
-        if n_kept == 0:
-            empty = {
-                "source": pa.array([], pa.string()),
-                "salt": pa.array([], pa.int64()),
-                "window_start": pa.array([], pa.int64()),
-                **{c: pa.array([], pa.float64()) for c in needed},
-            }
-            return pa.table(empty), {
-                "max_ts_us": max_ts, "late_dropped": late_n, "rows_in": rows_in,
-            }
-        # integer factorization of (source, salt, window_start)
-        key = np.column_stack([src_code, salt, ws])
-        ukeys, inv = np.unique(key, axis=0, return_inverse=True)
-        G = len(ukeys)
-        # all large intermediates go through the per-worker scratch pool
-        # (fresh mmap'd allocations cost 100x the compute here)
+            win_open = (ws + size_s) > watermark_s  # earlier windows may be closed
+            if not win_open.all():
+                row_of, ws = row_of[win_open], ws[win_open]
+            g_src, g_salt = src_code[row_of], salt[row_of]
+            g_x = np.take(x, row_of)
+            g_w = np.take(w, row_of) if w is not None else None
+        m = ws.size
+
+        # -- factorize (src, salt, ws) via dense composite key ------------
+        ws_min = int(ws.min())
+        win_idx = (ws - ws_min) // step
+        n_win = int(win_idx.max()) + 1
+        n_src = len(src_vocab)
+        D = n_src * n_salts * n_win
+        dense = buf("dense", m, np.int64)
+        np.multiply(g_src, n_salts, out=dense)
+        np.add(dense, g_salt, out=dense)
+        np.multiply(dense, n_win, out=dense)
+        np.add(dense, win_idx, out=dense)
+        if D <= max(4 * m, 1 << 16):
+            gidx, gdom = dense, D  # bincount straight over the dense key
+            sel = None  # chosen below from the count vector
+        else:  # high-cardinality: 1-D sort-based factorization
+            kd, gidx = np.unique(dense, return_inverse=True)
+            gdom, sel = kd.size, slice(None)
+
         sums: dict[str, np.ndarray] = {}
-        pb = buf("pow", n_kept)
-        wp = buf("wpow", n_kept) if w_order else None
+
+        def gsum(weights=None):
+            s = np.bincount(gidx, weights=weights, minlength=gdom)
+            return s if sel is None else s[sel]
+
+        counts_g = np.bincount(gidx, minlength=gdom)
+        if sel is None:
+            nz = np.flatnonzero(counts_g)
+            kd, sel = nz, nz
+            counts_g = counts_g[sel]
         if u_order:
-            sums["u_n"] = np.bincount(inv, minlength=G).astype(np.int64)
-            sums["u_s1"] = np.bincount(inv, weights=x, minlength=G)
-            np.copyto(pb, x)
+            sums["u_n"] = counts_g.astype(np.int64)
+            sums["u_s1"] = gsum(g_x)
+            pb = buf("pow", m)
+            np.copyto(pb, g_x)
             for i in range(2, u_order + 1):
-                np.multiply(pb, x, out=pb)
-                sums[f"u_s{i}"] = np.bincount(inv, weights=pb, minlength=G)
+                np.multiply(pb, g_x, out=pb)
+                sums[f"u_s{i}"] = gsum(pb)
         if w_order:
-            sums["w_sw"] = np.bincount(inv, weights=w, minlength=G)
-            np.multiply(w, x, out=wp)
-            sums["w_sv"] = np.bincount(inv, weights=wp, minlength=G)
-            np.copyto(pb, x)
+            wp = buf("wpow", m)
+            sums["w_sw"] = gsum(g_w)
+            np.multiply(g_w, g_x, out=wp)
+            sums["w_sv"] = gsum(wp)
+            pb = buf("pow", m)
+            np.copyto(pb, g_x)
             for i in range(2, w_order + 1):
-                np.multiply(pb, x, out=pb)
-                np.multiply(w, pb, out=wp)
-                sums[f"w_s{i}"] = np.bincount(inv, weights=wp, minlength=G)
+                np.multiply(pb, g_x, out=pb)
+                np.multiply(g_w, pb, out=wp)
+                sums[f"w_s{i}"] = gsum(wp)
         if token_stats:
-            flat_raw = pc.list_flatten(tok_col).to_numpy(zero_copy_only=False)
-            parents = pc.list_parent_indices(tok_col).to_numpy(zero_copy_only=False)
-            if late_n:
-                pk = keep[parents]
-                flat_raw = flat_raw[pk]
-                parents = kept_row_of_orig[parents[pk]]
-            nt = flat_raw.size
-            flat = astype_f8("flat", flat_raw)
-            tg = buf("tg", nt, np.int64)
-            np.take(inv, parents, out=tg)
-            sums["t_n"] = np.bincount(tg, minlength=G).astype(np.int64)
-            sums["t_s1"] = np.bincount(tg, weights=flat, minlength=G)
-            tp = buf("tpow", nt)
-            np.copyto(tp, flat)
-            for i in range(2, 5):
-                np.multiply(tp, flat, out=tp)
-                sums[f"t_s{i}"] = np.bincount(tg, weights=tp, minlength=G)
+            for c in t_cols:
+                v = tr[c] if row_of is None else np.take(tr[c], row_of)
+                sums[c] = gsum(v)
+
+        # decode keys from the composite integer
+        u_src, rem = np.divmod(kd, n_salts * n_win)
+        u_salt, u_win = np.divmod(rem, n_win)
         part = pa.table(
             {
-                "source": src_vocab.take(pa.array(ukeys[:, 0], pa.int64())),
-                "salt": pa.array(ukeys[:, 1]),
-                "window_start": pa.array(ukeys[:, 2]),
+                "source": src_vocab.take(pa.array(u_src, pa.int64())),
+                "salt": pa.array(u_salt),
+                "window_start": pa.array(ws_min + u_win * step),
                 **{c: pa.array(sums[c]) for c in needed},
             }
         )
-        return part, {
-            "max_ts_us": max_ts, "late_dropped": late_n, "rows_in": rows_in,
-        }
+        return part, info
 
     return fn
 
@@ -221,6 +279,7 @@ def _session_partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermar
     already-closed session (close rule: end + gap <= watermark)."""
     gap_us = int(cfg.session_gap_s) * 1_000_000
     value_col, weight_col = cfg.value_col, cfg.weight_col
+    token_stats = cfg.token_stats
 
     def fn(batch: pa.Table) -> tuple[pa.Table, dict]:
         rows_in = batch.num_rows
@@ -236,9 +295,12 @@ def _session_partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermar
             if weight_col is not None
             else None
         )
+        tr = _row_token_sums(batch, cfg.tokens_col, rows_in) if token_stats else None
         if late_n:
             src, ts_us, x = src[keep], ts_us[keep], x[keep]
             w = w[keep] if w is not None else None
+            if tr is not None:
+                tr = {c: v[keep] for c, v in tr.items()}
         df = pd.DataFrame({"source": src, "_ts": ts_us})
         if u_order:
             df["u_n"] = np.ones(len(df), dtype=np.int64)
@@ -254,6 +316,9 @@ def _session_partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermar
             for i in range(2, w_order + 1):
                 px = px * x
                 df[f"w_s{i}"] = w * px
+        if tr is not None:
+            for c, v in tr.items():
+                df[c] = v
         df = df.sort_values(["source", "_ts"], kind="stable", ignore_index=True)
         if len(df):
             sv = df["source"].to_numpy()
@@ -472,7 +537,12 @@ class StreamDriver:
                     self.cfg, self.needed, self.u_order, self.w_order, self.watermark_s
                 )
                 router = Router(self.actors, self.cfg.n_partitions, fn)
-            kwargs = {"batch_format": "pyarrow"}
+            # max_retries=0: the router's actor pushes are non-idempotent
+            # side effects — a task-level retry would double-count its
+            # partials.  On any task failure the whole epoch fails and is
+            # replayed from the last checkpoint (restore() resets actor
+            # state), preserving exactly-once.
+            kwargs = {"batch_format": "pyarrow", "max_retries": 0}
             if self.cfg.batch_size:
                 kwargs["batch_size"] = self.cfg.batch_size
             book = ds.map_batches(router, **kwargs)
@@ -498,10 +568,14 @@ class StreamDriver:
         self.metrics[str(epoch)] = em
 
     def _passthrough_ds(self, ds, wm: int):
-        """Exact per-row passthrough: same late-drop predicate (the
-        watermark in force at ingest), token arrays byte-identical
-        (pure Arrow filter, no rewrite)."""
+        """Exact per-row passthrough: same late-drop predicate as the
+        aggregation path (the watermark in force at ingest), token
+        arrays byte-identical (pure Arrow filter, no rewrite).  In
+        hopping mode a row is kept iff ANY covering window is open,
+        i.e. its LATEST window ((ts//hop)*hop + size) is open —
+        matching _partial_stage's row_keep."""
         size_s = self.cfg.window_size_s
+        step = self.cfg.hop_s if self.cfg.hop_s is not None else size_s
         session = self.session_mode
 
         def keep(batch: pa.Table) -> pa.Table:
@@ -509,8 +583,8 @@ class StreamDriver:
             ts_s = event_time_us_from_numeric(ids) // 1_000_000
             if session:
                 return batch.filter(pa.array(ts_s > wm))
-            ws = (ts_s // size_s) * size_s
-            return batch.filter(pa.array((ws + size_s) > wm))
+            last_end = (ts_s // step) * step + size_s
+            return batch.filter(pa.array(last_end > wm))
 
         return ds.map_batches(keep, batch_format="pyarrow")
 

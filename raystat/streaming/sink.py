@@ -22,6 +22,14 @@ import pyarrow.parquet as pq
 __all__ = ["ExactlyOnceParquetSink"]
 
 
+def _fsync_path(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class ExactlyOnceParquetSink:
     def __init__(self, out_dir: str, name: str = "agg"):
         self.root = os.path.join(out_dir, name)
@@ -49,6 +57,7 @@ class ExactlyOnceParquetSink:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path(epoch))
+        _fsync_path(self.manifest_dir)
 
     # -- small-table commit (window aggregates) ----------------------------
 
@@ -64,8 +73,10 @@ class ExactlyOnceParquetSink:
         pq.write_table(table, tmp)
         with open(tmp, "rb") as f:
             digest = hashlib.sha256(f.read()).hexdigest()
+        _fsync_path(tmp)  # data durable BEFORE the manifest references it
         os.makedirs(part_dir, exist_ok=True)
         os.replace(tmp, os.path.join(part_dir, "part-0.parquet"))
+        _fsync_path(part_dir)
         self._write_manifest(
             epoch, {"rows": table.num_rows, "sha256": digest, "kind": "table"}
         )
@@ -85,12 +96,15 @@ class ExactlyOnceParquetSink:
         shutil.rmtree(part_dir, ignore_errors=True)
         os.makedirs(tmp_dir, exist_ok=True)  # an all-filtered epoch writes no files
         ds.write_parquet(tmp_dir)
-        n = sum(
-            pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
-            for f in os.listdir(tmp_dir)
-            if f.endswith(".parquet")
-        )
+        n = 0
+        for f in os.listdir(tmp_dir):
+            if f.endswith(".parquet"):
+                fp = os.path.join(tmp_dir, f)
+                n += pq.read_metadata(fp).num_rows
+                _fsync_path(fp)  # data durable BEFORE the manifest
+        _fsync_path(tmp_dir)
         os.replace(tmp_dir, part_dir)
+        _fsync_path(os.path.dirname(part_dir))
         self._write_manifest(epoch, {"rows": int(n), "kind": "dataset"})
         return True
 

@@ -40,118 +40,141 @@ def route_partition(source: np.ndarray, salt: np.ndarray, n_partitions: int) -> 
     return ((h * 31 + salt.astype(np.int64)) % n_partitions).astype(np.int64)
 
 
+_KEY = ["source", "salt", "window_start"]
+
+
 @ray.remote(num_cpus=0)
 class StatePartition:
     # num_cpus=0: merge work is tiny (partial structs); reserving CPU
     # shares would starve the map_batches stages in small sessions.
-    """Owns per-(source, salt, window_start) accumulator sums."""
+    """Owns per-(source, salt, window_start) accumulator sums.
+
+    Merge strategy: ``ingest`` only APPENDS the incoming partial table
+    (O(1) in the hot path — it runs once per upstream batch); the
+    field-wise merge happens lazily at epoch boundaries
+    (close/peek/snapshot) as ONE vectorized pandas concat + groupby-sum
+    over everything pending, so per-key cost is C-loop, not Python-loop,
+    at any key cardinality."""
 
     def __init__(self, partition_id: int, sum_cols: list[str], window_size_s: int):
         self.pid = partition_id
         self.sum_cols = list(sum_cols)
         self.window_size_s = window_size_s
-        # state: (source, salt, window_start) -> np.float64[len(sum_cols)]
-        self.state: dict[tuple, np.ndarray] = {}
+        # consolidated state: MultiIndex (source, salt, window_start) ->
+        # float64 sum columns
+        self.state = pd.DataFrame(
+            columns=self.sum_cols,
+            index=pd.MultiIndex.from_arrays([[], [], []], names=_KEY),
+            dtype=np.float64,
+        )
+        self.pending: list[pa.Table] = []
+        self.error: str | None = None
         self.metrics = {"partial_rows_in": 0, "ingests": 0, "windows_closed": 0}
 
     def ingest_count(self) -> int:
+        """Barrier probe; raises if any prior (fire-and-forget) ingest
+        failed so errors surface at the next barrier poll instead of as
+        a timeout 600s later."""
+        if self.error is not None:
+            raise RuntimeError(f"state partition {self.pid} ingest failed: {self.error}")
         return self.metrics["ingests"]
 
     def ingest(self, table: pa.Table) -> int:
-        """Merge a partial-sums table (cols: source, salt, window_start,
-        *sum_cols).  Field-wise addition == the reference's merge()."""
-        n = table.num_rows
-        if n:
-            src = table["source"].to_pylist()
-            salt = table["salt"].to_numpy(zero_copy_only=False)
-            ws = table["window_start"].to_numpy(zero_copy_only=False)
-            sums = np.column_stack(
-                [
-                    table[c].to_numpy(zero_copy_only=False).astype(np.float64)
-                    for c in self.sum_cols
-                ]
-            )
-            st = self.state
-            for i in range(n):
-                k = (src[i], int(salt[i]), int(ws[i]))
-                cur = st.get(k)
-                if cur is None:
-                    st[k] = sums[i].copy()
-                else:
-                    cur += sums[i]
-        self.metrics["partial_rows_in"] += n
+        """Buffer a partial-sums table (cols: source, salt,
+        window_start, *sum_cols).  Field-wise addition == the
+        reference's merge(); deferred to _consolidate()."""
+        try:
+            n = table.num_rows
+            if n:
+                self.pending.append(table)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:  # surface via ingest_count, not a timeout
+            self.error = repr(e)
+            n = 0
         self.metrics["ingests"] += 1
         return n
 
-    def close_windows(self, watermark_s: int) -> pa.Table:
-        """Pop and return all state whose window has fully passed the
-        watermark (window_start + size <= watermark)."""
-        closed_keys = [
-            k for k in self.state if k[2] + self.window_size_s <= watermark_s
-        ]
-        self.metrics["windows_closed"] += len(closed_keys)
-        if not closed_keys:
+    def _consolidate(self) -> None:
+        if not self.pending:
+            return
+        tbl = pa.concat_tables(self.pending)
+        self.pending = []
+        df = tbl.select(_KEY + self.sum_cols).to_pandas()
+        for c in self.sum_cols:
+            if df[c].dtype != np.float64:
+                df[c] = df[c].astype(np.float64)
+        merged = df.groupby(_KEY, sort=False).sum()
+        self.state = (
+            merged
+            if self.state.empty
+            else self.state.add(merged, fill_value=0.0)
+        )
+
+    def _emit_table(self, df: pd.DataFrame) -> pa.Table:
+        """(source, window_start, sums) rows, pre-merged across the
+        salts this actor owns — the driver only concatenates shards and
+        merges the (rare) cross-actor residue."""
+        if not len(df):
             return pa.table(
                 {
                     "source": pa.array([], pa.string()),
-                    "salt": pa.array([], pa.int64()),
                     "window_start": pa.array([], pa.int64()),
                     **{c: pa.array([], pa.float64()) for c in self.sum_cols},
                 }
             )
-        rows = np.stack([self.state.pop(k) for k in closed_keys])
+        g = df.groupby(level=["source", "window_start"], sort=False).sum()
+        idx = g.index
         return pa.table(
             {
-                "source": pa.array([k[0] for k in closed_keys], pa.string()),
-                "salt": pa.array([k[1] for k in closed_keys], pa.int64()),
-                "window_start": pa.array([k[2] for k in closed_keys], pa.int64()),
-                **{c: pa.array(rows[:, j]) for j, c in enumerate(self.sum_cols)},
+                "source": pa.array(idx.get_level_values("source"), pa.string()),
+                "window_start": pa.array(
+                    idx.get_level_values("window_start").astype(np.int64)
+                ),
+                **{c: pa.array(g[c].to_numpy()) for c in self.sum_cols},
             }
         )
 
+    def close_windows(self, watermark_s: int) -> pa.Table:
+        """Pop and return all state whose window has fully passed the
+        watermark (window_start + size <= watermark), merged across
+        this actor's salts."""
+        self._consolidate()
+        ws = self.state.index.get_level_values("window_start").to_numpy()
+        closed_mask = ws + self.window_size_s <= watermark_s
+        closed = self.state[closed_mask]
+        self.state = self.state[~closed_mask]
+        self.metrics["windows_closed"] += int(len(closed))
+        return self._emit_table(closed)
+
     def get_metrics(self) -> dict:
+        self._consolidate()
         return {"partition": self.pid, **self.metrics, "live_groups": len(self.state)}
 
     def get_state_size(self) -> int:
+        self._consolidate()
         return len(self.state)
 
     def peek_state(self) -> pa.Table:
         """Non-destructive snapshot of ALL live state (EMIT CHANGES:
         finalize may be applied repeatedly to intermediate state)."""
-        keys = list(self.state)
-        if not keys:
-            return pa.table(
-                {
-                    "source": pa.array([], pa.string()),
-                    "salt": pa.array([], pa.int64()),
-                    "window_start": pa.array([], pa.int64()),
-                    **{c: pa.array([], pa.float64()) for c in self.sum_cols},
-                }
-            )
-        rows = np.stack([self.state[k] for k in keys])
-        return pa.table(
-            {
-                "source": pa.array([k[0] for k in keys], pa.string()),
-                "salt": pa.array([k[1] for k in keys], pa.int64()),
-                "window_start": pa.array([k[2] for k in keys], pa.int64()),
-                **{c: pa.array(rows[:, j]) for j, c in enumerate(self.sum_cols)},
-            }
-        )
+        self._consolidate()
+        return self._emit_table(self.state)
 
     # -- checkpoint / restore ---------------------------------------------
 
     def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        self._consolidate()
         os.makedirs(ckpt_dir, exist_ok=True)
-        keys = sorted(self.state)
+        df = self.state.sort_index()
+        idx = df.index
         t = pa.table(
             {
-                "source": pa.array([k[0] for k in keys], pa.string()),
-                "salt": pa.array([k[1] for k in keys], pa.int64()),
-                "window_start": pa.array([k[2] for k in keys], pa.int64()),
-                **{
-                    c: pa.array([float(self.state[k][j]) for k in keys])
-                    for j, c in enumerate(self.sum_cols)
-                },
+                "source": pa.array(idx.get_level_values("source"), pa.string()),
+                "salt": pa.array(idx.get_level_values("salt").astype(np.int64)),
+                "window_start": pa.array(
+                    idx.get_level_values("window_start").astype(np.int64)
+                ),
+                **{c: pa.array(df[c].to_numpy()) for c in self.sum_cols},
             }
         )
         path = os.path.join(ckpt_dir, f"state-p{self.pid:04d}.parquet")
@@ -161,19 +184,19 @@ class StatePartition:
         return path
 
     def restore(self, ckpt_dir: str) -> int:
+        """Rebuild state directly (no metrics side effects — see
+        SessionStatePartition.restore)."""
         path = os.path.join(ckpt_dir, f"state-p{self.pid:04d}.parquet")
-        self.state = {}
+        self.pending = []
+        self.state = self.state.iloc[0:0]
         if not os.path.exists(path):
             return 0
         t = pq.read_table(path)
-        src = t["source"].to_pylist()
-        salt = t["salt"].to_numpy()
-        ws = t["window_start"].to_numpy()
-        sums = np.column_stack(
-            [t[c].to_numpy().astype(np.float64) for c in self.sum_cols]
-        ) if t.num_rows else np.zeros((0, len(self.sum_cols)))
-        for i in range(t.num_rows):
-            self.state[(src[i], int(salt[i]), int(ws[i]))] = sums[i].copy()
+        if t.num_rows:
+            df = t.select(_KEY + self.sum_cols).to_pandas()
+            for c in self.sum_cols:
+                df[c] = df[c].astype(np.float64)
+            self.state = df.set_index(_KEY)
         return t.num_rows
 
 
@@ -237,9 +260,12 @@ class SessionStatePartition:
         self.sum_cols = list(sum_cols)
         self.gap_us = int(gap_s) * 1_000_000
         self.state: dict[str, np.ndarray] = {}  # source -> (k, 2+S) array
+        self.error: str | None = None
         self.metrics = {"partial_rows_in": 0, "ingests": 0, "sessions_closed": 0}
 
     def ingest_count(self) -> int:
+        if self.error is not None:
+            raise RuntimeError(f"session partition {self.pid} ingest failed: {self.error}")
         return self.metrics["ingests"]
 
     def _merge_rows(self, rows: np.ndarray) -> np.ndarray:
@@ -259,26 +285,30 @@ class SessionStatePartition:
     def ingest(self, table: pa.Table) -> int:
         """Merge a partial-sessions table (cols: source,
         session_start_us, session_end_us, *sum_cols)."""
-        n = table.num_rows
-        if n:
-            src = table["source"].to_pylist()
-            arr = np.column_stack(
-                [table["session_start_us"].to_numpy(zero_copy_only=False).astype(np.float64),
-                 table["session_end_us"].to_numpy(zero_copy_only=False).astype(np.float64)]
-                + [table[c].to_numpy(zero_copy_only=False).astype(np.float64)
-                   for c in self.sum_cols]
-            )
-            import collections
+        try:
+            n = table.num_rows
+            if n:
+                src = table["source"].to_pylist()
+                arr = np.column_stack(
+                    [table["session_start_us"].to_numpy(zero_copy_only=False).astype(np.float64),
+                     table["session_end_us"].to_numpy(zero_copy_only=False).astype(np.float64)]
+                    + [table[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                       for c in self.sum_cols]
+                )
+                import collections
 
-            by_src = collections.defaultdict(list)
-            for i, s in enumerate(src):
-                by_src[s].append(i)
-            for s, idx in by_src.items():
-                rows = arr[idx]
-                cur = self.state.get(s)
-                allr = rows if cur is None else np.vstack([cur, rows])
-                self.state[s] = self._merge_rows(allr)
-        self.metrics["partial_rows_in"] += n
+                by_src = collections.defaultdict(list)
+                for i, s in enumerate(src):
+                    by_src[s].append(i)
+                for s, idx in by_src.items():
+                    rows = arr[idx]
+                    cur = self.state.get(s)
+                    allr = rows if cur is None else np.vstack([cur, rows])
+                    self.state[s] = self._merge_rows(allr)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:  # surface via ingest_count, not a timeout
+            self.error = repr(e)
+            n = 0
         self.metrics["ingests"] += 1
         return n
 
@@ -349,13 +379,32 @@ class SessionStatePartition:
         return path
 
     def restore(self, ckpt_dir: str) -> int:
+        """Rebuild ``self.state`` directly from the snapshot WITHOUT
+        touching metrics: the driver's ingest barrier compares the
+        actors' cumulative ingest counters against the calls submitted
+        since (re)start, so a restore routed through ``ingest()`` would
+        give the counters a head start and let the barrier pass while
+        the current epoch's ingests are still queued."""
         path = os.path.join(ckpt_dir, f"sess-p{self.pid:04d}.parquet")
         self.state = {}
         if not os.path.exists(path):
             return 0
         t = pq.read_table(path)
         if t.num_rows:
-            self.ingest(t)
+            src = t["source"].to_pylist()
+            arr = np.column_stack(
+                [t["session_start_us"].to_numpy(zero_copy_only=False).astype(np.float64),
+                 t["session_end_us"].to_numpy(zero_copy_only=False).astype(np.float64)]
+                + [t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                   for c in self.sum_cols]
+            )
+            import collections
+
+            by_src = collections.defaultdict(list)
+            for i, s in enumerate(src):
+                by_src[s].append(i)
+            for s, idx in by_src.items():
+                self.state[s] = self._merge_rows(arr[idx])
         return t.num_rows
 
 
