@@ -11,6 +11,10 @@ against a late-arriving metadata stream, and an idempotent exactly-once
 Parquet sink.  See SURVEY.md for the blueprint and reference citations.
 """
 
+from raystat.scratch import tune_allocator
+
+tune_allocator()  # see scratch.tune_allocator — perf-critical in this VM
+
 from raystat.accumulators import AggregatorSpec, get_spec, register, REGISTRY
 
 __all__ = ["AggregatorSpec", "get_spec", "register", "REGISTRY"]

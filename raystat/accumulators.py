@@ -275,6 +275,33 @@ def get_spec(name: str) -> AggregatorSpec:
         ) from None
 
 
+# The reference's five registered UDAF names, discovered by annotation
+# scan in its test utility (UdafMetadata.java:23-31; classes at
+# WeightedStdDevUdaf.java:33, SkewnessUdaf.java:38,
+# WeightedSkewnessUdaf.java:35, KurtosisUdaf.java:40,
+# WeightedKurtosisUdaf.java:36).
+REFERENCE_FUNCTION_NAMES = frozenset(
+    {"stddev_weighted", "skewness", "skewness_weighted", "kurtosis",
+     "kurtosis_weighted"}
+)
+
+
+def show_functions() -> list[dict]:
+    """``SHOW FUNCTIONS`` parity (AllUdafIT.java:116-153): one metadata
+    row per registered aggregate — name, weighted?, accumulator state
+    fields (the reference's aggregateSchema struct fields), and whether
+    the name extends the reference surface."""
+    return [
+        {
+            "name": s.name,
+            "weighted": s.weighted,
+            "state_fields": list(s.fields),
+            "reference": s.name in REFERENCE_FUNCTION_NAMES,
+        }
+        for s in sorted(REGISTRY.values(), key=lambda s: s.name)
+    ]
+
+
 register(
     AggregatorSpec(
         name="weighted_average",

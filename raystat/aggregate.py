@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raystat.accumulators import AggregatorSpec, canonical_sums_for, get_spec
-from raystat.scratch import buf
+from raystat.scratch import buf, tune_allocator
 from raystat.windows import Hopping, Session, Tumbling, assign_windows, ts_to_epoch_us
 
 __all__ = ["grouped_moments", "session_moments", "partial_sums"]
@@ -56,6 +56,7 @@ def partial_sums(
     ``x``/``w`` are float64 arrays with nulls already removed.
     Returns one row per distinct group with canonical sum columns.
     """
+    tune_allocator()  # idempotent; needed under by-value pickling
     n = x.size
     arrays: dict[str, np.ndarray] = {}
     # power columns go into named per-worker scratch buffers: fresh

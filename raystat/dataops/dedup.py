@@ -58,22 +58,62 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per identical text.  Shuffle key =
-    content_hash (uniform by construction, no skew); only (hash, id)
-    pairs + winner rows move."""
+    """Keep the min-id row per identical text.
 
-    def h(batch: pa.Table) -> pa.Table:
-        return add_content_hash(batch, text_col)
+    Scale shape: text never enters a shuffle.  Pass 1 shuffles ONLY
+    (content_hash, id) pairs — with a per-batch combiner that keeps the
+    batch-local min id per hash and diverts batch-local duplicates
+    straight to the LOSER set — then a ``groupby(hash)`` emits the ids
+    that lose to the global min.  The loser set is O(#duplicate rows)
+    (≪ corpus in any dedup regime), so it broadcasts via one
+    ``ray.put``; pass 2 streams the input again and anti-joins it.
+    Hash = 64-bit md5 prefix (uniform, no skew)."""
+    import ray
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+    def hash_id(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _md5_64(batch[text_col].to_pylist())
+        # combiner: batch-local min per hash survives; the rest are
+        # definite global losers (global min <= batch min)
+        order = np.lexsort((ids, h))
+        hs, is_ = h[order], ids[order]
+        first = np.ones(hs.size, dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        return pa.table(
+            {"content_hash": pa.array(hs), "_id": pa.array(is_),
+             "_loser": pa.array(~first)}
+        )
 
-    return (
-        ds.map_batches(h, batch_format="pyarrow")
+    def losers_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[~g["_loser"], "_id"]
+        lose = g.loc[g["_loser"], "_id"].to_numpy()
+        extra = keep.to_numpy()
+        extra = extra[extra != keep.min()] if len(extra) else extra
+        return pd.DataFrame({"_id": np.concatenate([lose, extra])})
+
+    loser_df = (
+        ds.map_batches(hash_id, batch_format="pyarrow")
         .groupby("content_hash")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["content_hash"])
+        .map_groups(losers_of_group, batch_format="pandas")
+        .to_pandas()
     )
+    losers = (
+        np.sort(loser_df["_id"].to_numpy().astype(np.int64))
+        if len(loser_df) and "_id" in loser_df.columns
+        else np.zeros(0, dtype=np.int64)
+    )
+    ref = ray.put(losers)
+
+    def anti_join(batch: pa.Table) -> pa.Table:
+        lose = ray.get(ref)
+        if not lose.size:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(lose, ids)
+        pos[pos == lose.size] = 0
+        return batch.filter(pa.array(lose[pos] != ids))
+
+    return ds.map_batches(anti_join, batch_format="pyarrow")
 
 
 # -- shingles / jaccard -----------------------------------------------------
@@ -154,11 +194,19 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", thresh
     shingle Jaccard >= threshold.  Returns a pandas DataFrame
     (doc_a, doc_b, jaccard), doc_a < doc_b.
 
-    Scale path: the only shuffle is the (band_id, band_hash) groupby
-    over 16 x n_docs tiny rows; the verify stage re-reads only
-    candidate docs (broadcast id-set filter).  Assumes the candidate
-    set (true near-dups + band collisions) is far smaller than the
-    corpus — the standard LSH regime."""
+    Scale shape (three streaming passes, no text in any shuffle):
+    1. band rows (band_id, band_hash, doc_id) -> bucket groupby ->
+       candidate id pairs (tiny: true near-dups + band collisions).
+    2. signatures of candidate docs only (broadcast sorted id filter
+       via ray.put; 64 int64 per doc) -> driver; estimated Jaccard =
+       fraction of agreeing signature rows, one vectorized matrix
+       compare for ALL pairs at once.  Pairs estimated clearly below
+       threshold (margin 2 sigma of the 64-perm estimator) are
+       rejected without ever touching text.
+    3. texts of the surviving near-positive docs only -> exact shingle
+       Jaccard (output is exact, estimate only prunes).
+    Assumes candidates << corpus — the standard LSH regime."""
+    import ray
 
     def bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -178,17 +226,62 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", thresh
         .to_pandas()
     )
     cand = cand.drop_duplicates(ignore_index=True)
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64),
+         "jaccard": pd.Series(dtype=np.float64)}
+    )
     if not len(cand):
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    need = set(cand["doc_a"]).union(cand["doc_b"])
+        return empty
 
-    def fetch(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.isin(ids, np.fromiter(need, dtype=np.int64))
-        sub = batch.filter(pa.array(mask))
-        return pa.table({"doc_id": sub[id_col], "text": sub[text_col]})
+    def _fetch_for(ids_sorted: np.ndarray, emit):
+        """Streaming pass emitting `emit(sub_batch)` for rows whose id
+        is in the broadcast sorted id set."""
+        ref = ray.put(ids_sorted)
 
-    docs = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+        def fetch(batch: pa.Table) -> pa.Table:
+            want = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(want, ids)
+            pos[pos == want.size] = 0
+            sub = batch.filter(pa.array(want[pos] == ids))
+            return emit(sub)
+
+        return ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+
+    need = np.unique(
+        np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()])
+    ).astype(np.int64)
+
+    def emit_sigs(sub: pa.Table) -> pa.Table:
+        sig = minhash_signatures_batch(sub, text_col)
+        return pa.table(
+            {
+                "doc_id": sub[id_col],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.reshape(-1)), _N_PERM
+                ),
+            }
+        )
+
+    sigs = _fetch_for(need, emit_sigs)
+    S = np.stack([np.asarray(s, dtype=np.int64) for s in sigs["sig"]])
+    row_of = {int(d): i for i, d in enumerate(sigs["doc_id"])}
+    ia = np.fromiter((row_of[int(d)] for d in cand["doc_a"]), dtype=np.int64)
+    ib = np.fromiter((row_of[int(d)] for d in cand["doc_b"]), dtype=np.int64)
+    est = (S[ia] == S[ib]).mean(axis=1)
+    # 2-sigma margin of the 64-permutation estimator at the threshold
+    margin = 2.0 * float(np.sqrt(threshold * (1 - threshold) / _N_PERM))
+    cand = cand[est >= threshold - margin].reset_index(drop=True)
+    if not len(cand):
+        return empty
+
+    exact_ids = np.unique(
+        np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()])
+    ).astype(np.int64)
+    docs = _fetch_for(
+        exact_ids,
+        lambda sub: pa.table({"doc_id": sub[id_col], "text": sub[text_col]}),
+    )
     sh = {int(r.doc_id): shingle_set(r.text) for r in docs.itertuples()}
     jac = np.array(
         [jaccard(sh[int(a)], sh[int(b)]) for a, b in zip(cand["doc_a"], cand["doc_b"])]

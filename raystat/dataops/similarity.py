@@ -89,15 +89,26 @@ def ann_topk(
 
 
 def embedding_dup_pairs(
-    ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_exact: int = 200_000,
 ):
     """All pairs with cosine >= threshold (exact, brute force): the
     full normalized matrix is broadcast; each batch matmuls against
     it and emits only (a < b) passing pairs.  O(N^2) compute but only
-    passing pairs leave the tasks — fine up to ~10^5 vectors; beyond
-    that use embedding_lsh_pairs."""
+    passing pairs leave the tasks — the exact path is explicitly
+    guarded to <= ``max_exact`` vectors; larger inputs route to
+    ``embedding_lsh_pairs`` (the scale path) automatically."""
     import ray
 
+    n_total = ds.count()
+    if n_total > max_exact:
+        out = embedding_lsh_pairs(
+            ds, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+        return out.rename(columns={"vec_id": id_col})
     full = ds.to_pandas()
     ids_all = full[id_col].to_numpy().astype(np.int64)
     X_all = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
@@ -150,6 +161,8 @@ def embedding_lsh_pairs(
     pref = ray.put(planes)
 
     def sig(batch: pa.Table) -> pa.Table:
+        # band rows carry ONLY (table_id, bucket, vec_id): the groupby
+        # shuffles 24 bytes per (vector, table) — never the vector
         P = ray.get(pref)
         X = _normalize(_stack(batch[vec_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -164,33 +177,64 @@ def embedding_lsh_pairs(
                         "table_id": pa.array(np.full(len(ids), t, dtype=np.int64)),
                         "bucket": pa.array(h.astype(np.int64)),
                         "vec_id": pa.array(ids),
-                        "vec": pa.array(list(X), type=pa.list_(pa.float64())),
                     }
                 )
             )
         return pa.concat_tables(parts)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        X = np.stack(g["vec"].to_numpy())
-        C = X @ X.T
+            return pd.DataFrame({"vec_a": [], "vec_b": []})
+        ids = np.sort(g["vec_id"].to_numpy())
         a, b = np.triu_indices(len(ids), k=1)
-        keep = C[a, b] >= threshold
-        return pd.DataFrame({"vec_a": ids[a][keep], "vec_b": ids[b][keep], "cos": C[a, b][keep]})
+        return pd.DataFrame({"vec_a": ids[a], "vec_b": ids[b]})
 
-    out = (
+    cand = (
         ds.map_batches(sig, batch_format="pyarrow")
         .groupby(["table_id", "bucket"])
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
-    if not len(out):
-        return out
+    empty = pd.DataFrame(
+        {"vec_a": pd.Series(dtype=np.int64), "vec_b": pd.Series(dtype=np.int64),
+         "cos": pd.Series(dtype=np.float64)}
+    )
+    if not len(cand):
+        return empty
+    cand = cand.drop_duplicates(ignore_index=True)
+
+    # exact-cosine verify: fetch ONLY the candidate vectors (one
+    # streaming pass, broadcast sorted id filter) — candidates << corpus
+    # in the LSH regime, so the driver-side verify matrix stays small
+    need = np.unique(
+        np.concatenate([cand["vec_a"].to_numpy(), cand["vec_b"].to_numpy()])
+    ).astype(np.int64)
+    nref = ray.put(need)
+
+    def fetch_vecs(batch: pa.Table) -> pa.Table:
+        want = ray.get(nref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(want, ids)
+        pos[pos == want.size] = 0
+        keep = want[pos] == ids
+        sub = batch.filter(pa.array(keep))
+        Xs = _normalize(_stack(sub[vec_col]))
+        return pa.table(
+            {
+                "vec_id": sub[id_col],
+                "vec": pa.array(list(Xs), type=pa.list_(pa.float64())),
+            }
+        )
+
+    vecs = ds.map_batches(fetch_vecs, batch_format="pyarrow").to_pandas()
+    X = np.stack(vecs["vec"].to_numpy())
+    row_of = {int(d): i for i, d in enumerate(vecs["vec_id"])}
+    ia = np.fromiter((row_of[int(d)] for d in cand["vec_a"]), dtype=np.int64)
+    ib = np.fromiter((row_of[int(d)] for d in cand["vec_b"]), dtype=np.int64)
+    cos = np.einsum("ij,ij->i", X[ia], X[ib])
+    out = cand[cos >= threshold].reset_index(drop=True)
+    out["cos"] = cos[cos >= threshold]
     return (
-        out.drop_duplicates(["vec_a", "vec_b"])
-        .sort_values(["vec_a", "vec_b"], ignore_index=True)
+        out.sort_values(["vec_a", "vec_b"], ignore_index=True)
         .astype({"vec_a": np.int64, "vec_b": np.int64})
     )

@@ -260,6 +260,38 @@ def _streaming_tokens(sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _streaming_lengths(sf_dir):
+    """The flagship streaming engine restricted to SQL-expressible
+    output: per-(source, 6h tumbling window) token-LENGTH statistics
+    (n_tok weighted by n_tok) computed by the full StreamDriver path —
+    watermarks, salted shuffle to state actors, exactly-once commits —
+    with a DuckDB twin over the same documents table (n_tok and the
+    derived event time are both SQL-reproducible)."""
+    from raystat.fixtures import epoch_len_us
+    from raystat.pipelines.tokens import documents_stream_fixture
+    from raystat.streaming import StreamConfig, StreamDriver
+
+    n_epochs = 4
+    fix = documents_stream_fixture(sf_dir, n_epochs=n_epochs)
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="raystat_stream_len_")
+    try:
+        cfg = StreamConfig(
+            window_size_s=21600,
+            allowed_lateness_s=epoch_len_us(n_epochs) // 1_000_000,
+            n_partitions=8,
+            n_salts=4,
+        )
+        drv = StreamDriver(fix, out, cfg)
+        drv.run()
+        res = drv.result_table().to_pandas()
+        return res[["source", "window_start", "wavg", "wstd", "skew", "kurt"]]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 V, W = "l_extendedprice", "l_quantity"
 
 QUERIES: list[QueryDef] = [
@@ -369,6 +401,16 @@ QUERIES: list[QueryDef] = [
     QueryDef("token_value_stats", _token_value_stats, None),
     QueryDef("passthrough_tokens", _passthrough_tokens, None),
     QueryDef("streaming_windowed_tokens", _streaming_tokens, None),
+    QueryDef(
+        "streaming_windowed_lengths",
+        _streaming_lengths,
+        f"""SELECT source, {TOK_WS_SQL} AS window_start,
+              {sql_wavg(N_TOK_SQL, N_TOK_SQL)} AS wavg,
+              {sql_wstd(N_TOK_SQL, N_TOK_SQL)} AS wstd,
+              {sql_skew(N_TOK_SQL)} AS skew,
+              {sql_kurt(N_TOK_SQL)} AS kurt
+            FROM documents GROUP BY source, window_start""",
+    ),
 ]
 
 
@@ -487,7 +529,25 @@ QUERIES.extend(
                   {NTOKD}/({NTOKD}+100.0) - {PUNCT_RATIO_SQL} + {STOP_RATIO_SQL} AS score
                 FROM documents""",
         ),
-        QueryDef("lang_id_documents", _q_langid, None),
+        QueryDef(
+            "lang_id_documents",
+            _q_langid,
+            # char-class counts via negated-class regexp_replace; same
+            # thresholds/order as text.lang_id_batch
+            """WITH c AS (
+                 SELECT doc_id,
+                   cast(greatest(length(text), 1) as double) AS n,
+                   cast(length(regexp_replace(text, '[^一-鿿぀-ヿ가-힯]', '', 'g')) as double) AS cjk,
+                   cast(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) as double) AS cyr,
+                   cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double) AS alpha
+                 FROM documents)
+               SELECT doc_id,
+                 CASE WHEN cjk/n > 0.05 THEN 'zh'
+                      WHEN cyr/n > 0.05 THEN 'ru'
+                      WHEN alpha/n > 0.4 THEN 'en'
+                      ELSE 'unk' END AS pred_lang
+               FROM c""",
+        ),
         QueryDef("fingerprint_documents", _q_fingerprint, None),
         QueryDef(
             "dedup_exact_documents",

@@ -30,6 +30,9 @@ __all__ = ["tokenize_batch", "tokenize_documents", "documents_stream_fixture"]
 def tokenize_batch(batch: pa.Table) -> pa.Table:
     """documents rows -> token-table rows (vectorized where possible;
     per-unique-word crc cache keeps the word loop tiny)."""
+    from raystat.scratch import tune_allocator
+
+    tune_allocator()
     texts = batch["text"].to_pylist()
     words_per_doc = [_WS.findall(t or "") for t in texts]
     n_tok = np.array([len(w) for w in words_per_doc], dtype=np.int32)

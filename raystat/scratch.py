@@ -13,6 +13,30 @@ from __future__ import annotations
 import numpy as np
 
 _POOL: dict[tuple[str, str], np.ndarray] = {}
+_TUNED = False
+
+
+def tune_allocator() -> None:
+    """Disable jemalloc dirty-page decay (idempotent, once per process).
+
+    Fresh page faults cost ~100x their compute in this VM; Arrow's
+    default decay returns every decoded batch's buffers to the OS, and
+    at 32 workers the kernel fault path serializes — the difference
+    between ~0.3 and >=0.8 scaling efficiency at 8->32 CPUs
+    (BASELINE.md).  Called at raystat import AND from hot stage
+    callables, because cloudpickle by-value shipping (``__ray_entry__``)
+    reconstructs module globals without re-running import side effects."""
+    global _TUNED
+    if _TUNED:
+        return
+    _TUNED = True
+    try:
+        import pyarrow as pa
+
+        if pa.default_memory_pool().backend_name == "jemalloc":
+            pa.jemalloc_set_decay_ms(1_000_000_000)
+    except Exception:
+        pass  # non-jemalloc builds: nothing to tune
 
 
 def buf(name: str, n: int, dtype=np.float64) -> np.ndarray:

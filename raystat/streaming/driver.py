@@ -45,7 +45,7 @@ import ray
 from raystat.accumulators import canonical_sums_for, get_spec
 from raystat.aggregate import partial_sums
 from raystat.extract import event_time_us_from_numeric, numeric_doc_id
-from raystat.scratch import astype_f8, buf
+from raystat.scratch import astype_f8, buf, tune_allocator
 from raystat.streaming.join import MetadataJoin
 from raystat.streaming.sink import ExactlyOnceParquetSink
 from raystat.streaming.state import (
@@ -146,6 +146,7 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
         )
 
     def fn(batch: pa.Table) -> tuple[pa.Table, dict]:
+        tune_allocator()  # idempotent; needed under by-value pickling
         rows_in = batch.num_rows
         ids = numeric_doc_id(batch["doc_id"])
         ts_us = event_time_us_from_numeric(ids)
@@ -679,6 +680,26 @@ class StreamDriver:
             "state_metrics": ray.get([a.get_metrics.remote() for a in self.actors]),
             "join_metrics": self.join.metrics,
         }
+
+    def cleanup(self, delete_output: bool = False) -> None:
+        """Engine-level teardown (the reference's
+        ``DROP TABLE/STREAM ... DELETE TOPIC`` lifecycle,
+        AllUdafIT.java:461-498): kill the state-actor pool, drop
+        checkpoints, and — with ``delete_output=True`` (ksqlDB's
+        DELETE TOPIC flag) — remove the committed sink output too."""
+        import shutil
+
+        if self.actors is not None:
+            for a in self.actors:
+                try:
+                    ray.kill(a)
+                except Exception:
+                    pass
+            self.actors = None
+        self._ingest_expected = 0
+        shutil.rmtree(self.ckpt_root, ignore_errors=True)
+        if delete_output:
+            shutil.rmtree(self.out_dir, ignore_errors=True)
 
     def _final_metrics(self) -> dict:
         return {

@@ -243,3 +243,29 @@ def test_merge_associativity(v, seed):
             state = spec.merge(state, spec.accumulate_batch(vi, wi if spec.weighted else None))
         for f in spec.fields:
             assert state[f] == pytest.approx(whole[f], rel=1e-9, abs=1e-9), (name, f)
+
+
+def test_show_functions_reference_parity():
+    """SHOW FUNCTIONS discovery (AllUdafIT.java:116-153): the registry
+    must expose exactly the reference's five UDAF names
+    (UdafMetadata.java:23-31) plus the documented extensions (sample
+    factory variants and the derived weighted_average)."""
+    from raystat.accumulators import (
+        REFERENCE_FUNCTION_NAMES,
+        show_functions,
+    )
+
+    rows = {r["name"]: r for r in show_functions()}
+    assert REFERENCE_FUNCTION_NAMES <= set(rows)
+    assert {r["name"] for r in show_functions() if r["reference"]} == (
+        REFERENCE_FUNCTION_NAMES
+    )
+    extensions = set(rows) - REFERENCE_FUNCTION_NAMES
+    assert extensions == {"weighted_average", "skewness_sample", "kurtosis_sample"}
+    # state-field metadata matches the reference's aggregateSchema structs
+    assert rows["stddev_weighted"]["state_fields"] == [
+        "SUM_VALUES", "SUM_WEIGHTS", "SUM_WEIGHT_SQUARES"
+    ]
+    assert rows["kurtosis"]["state_fields"] == [
+        "COUNT", "SUM", "SUM_SQUARES", "SUM_CUBES", "SUM_QUARTIC"
+    ]

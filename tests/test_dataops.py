@@ -181,3 +181,158 @@ def test_multimodal_plumbing(docs_ds):
         out.sort_values("doc_id", ignore_index=True),
         out2.sort_values("doc_id", ignore_index=True),
     )
+
+
+# -- pure-NumPy image codecs ------------------------------------------------
+
+
+def _test_img(seed=7, h=9, w=13):
+    from raystat.dataops.multimodal import synth_image
+
+    return synth_image(seed, h=h, w=w)
+
+
+def test_codec_roundtrips_exact():
+    from raystat.dataops import imagecodec as ic
+
+    img = _test_img()
+    for enc, dec in [
+        (ic.encode_ppm, ic.decode_ppm),
+        (ic.encode_bmp, ic.decode_bmp),
+        (ic.encode_png, ic.decode_png),
+    ]:
+        out = dec(enc(img))
+        np.testing.assert_array_equal(out, img)
+    # dispatch by magic bytes
+    for enc in (ic.encode_ppm, ic.encode_bmp, ic.encode_png):
+        np.testing.assert_array_equal(ic.decode_image(enc(img)), img)
+
+
+def test_png_decoder_handles_all_filters():
+    """Forward-apply each PNG filter manually, then decode."""
+    import struct
+    import zlib
+
+    from raystat.dataops import imagecodec as ic
+
+    img = _test_img(seed=11, h=6, w=5)
+    h, w = img.shape[:2]
+    raw = img.reshape(h, w * 3).astype(np.int32)
+    bpp = 3
+    scan = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    for y in range(h):
+        f = y % 5  # exercise filters 0..4
+        scan[y, 0] = f
+        prev = raw[y - 1] if y else np.zeros(w * 3, np.int32)
+        line = raw[y]
+        enc = np.empty(w * 3, np.int32)
+        for i in range(w * 3):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        scan[y, 1:] = enc.astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + ic._chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(ic.decode_png(data), img)
+
+
+def test_image_features_real_decode(docs_ds):
+    from raystat.dataops.multimodal import (
+        ImageFeatureStage,
+        attach_image_payload,
+        synth_image,
+    )
+
+    t = attach_image_payload(_docs_table())
+    out = ImageFeatureStage()(t)
+    assert out["decoded"].to_pylist() == [True] * t.num_rows
+    assert out["width"].to_pylist() == [32] * t.num_rows
+    assert out["height"].to_pylist() == [24] * t.num_rows
+    # features match a direct computation on the planted pixels
+    img0 = synth_image(0)
+    f0 = np.asarray(out["features"][0].as_py())
+    np.testing.assert_allclose(
+        f0[2:5], img0.reshape(-1, 3).astype(np.float64).mean(axis=0), rtol=1e-12
+    )
+
+
+def test_image_resize_stage():
+    from raystat.dataops import imagecodec as ic
+    from raystat.dataops.multimodal import ImageResizeStage, attach_image_payload
+
+    t = attach_image_payload(_docs_table().slice(0, 6))
+    out = ImageResizeStage(out_h=8, out_w=8)(t)
+    for p in out["payload"].to_pylist():
+        img = ic.decode_png(p)
+        assert img.shape == (8, 8, 3)
+
+
+def test_frame_sample_stage():
+    from raystat.dataops import imagecodec as ic
+    from raystat.dataops.multimodal import FrameSampleStage, synth_image
+
+    frames = [ic.encode_png(synth_image(s, h=4, w=4)) for s in range(5)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "frames": pa.array([frames], pa.list_(pa.binary())),
+        }
+    )
+    out = FrameSampleStage(stride=2)(t)
+    assert out["frame_index"].to_pylist() == [0, 2, 4]
+    np.testing.assert_array_equal(
+        ic.decode_png(out["payload"][0].as_py()), synth_image(0, h=4, w=4)
+    )
+
+
+def test_minhash_lsh_larger_fixture(ray_session):
+    """10x fixture: planted dup recovery with the distributed
+    (signature-pruned) verify path."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    n = 400
+    texts = []
+    for i in range(n):
+        base = BASE_TEXTS[i % len(BASE_TEXTS)].split()
+        extra = [f"w{rng.integers(0, 5000)}" for _ in range(8)]
+        texts.append(" ".join(base + extra))
+    planted = [(0, 390), (1, 391), (2, 392)]
+    for a, b in planted:
+        texts[b] = texts[a]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+            }
+        )
+    ).repartition(8)
+    from raystat.dataops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(ds, threshold=0.8)
+    got = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    for p in planted:
+        assert p in got, (p, got)
+    j = pairs.set_index(["doc_a", "doc_b"])["jaccard"]
+    for p in planted:
+        assert j.loc[p] == 1.0  # output jaccard is exact, not estimated

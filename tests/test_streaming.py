@@ -309,3 +309,157 @@ def test_emit_changes_incremental(ray_session, fixture_dir):
     for (src, ws), n in grp.max().items():
         if (src, ws) in final.index:
             assert n <= final.loc[(src, ws), "n_rows"]
+
+
+def test_streaming_token_stats_hopping_matches_replay(ray_session, fixture_dir):
+    """token_stats under HOPPING windows: tok_* and wavg per
+    (source, window) must match a pandas replay that expands each row
+    to its covering windows (nothing drops: large lateness)."""
+    out = "/tmp/rs_pytest_tok_hop"
+    shutil.rmtree(out, ignore_errors=True)
+    hop = WINDOW_S // 2
+    cfg = make_cfg(
+        token_stats=True, passthrough=False, hop_s=hop,
+        allowed_lateness_s=10 * LATENESS_S,
+    )
+    drv = StreamDriver(fixture_dir, out, cfg)
+    m = drv.run()
+    assert sum(e["late_dropped"] for e in m["epochs"].values()) == 0
+    res = drv.result_table().to_pandas()
+
+    src = pq.read_table(
+        sorted(glob.glob(os.path.join(fixture_dir, "arrival=*", "*.parquet")))
+    ).to_pandas()
+    ids = numeric_doc_id(pa.array(src["doc_id"]))
+    ts_s = event_time_us_from_numeric(ids) // 1_000_000
+    src["ts_s"] = ts_s
+    sample = res.sample(n=min(30, len(res)), random_state=13)
+    for _, r in sample.iterrows():
+        ws = int(r["window_start"])
+        in_win = src[
+            (src["source"] == r["source"])
+            & (src["ts_s"] >= ws)
+            & (src["ts_s"] < ws + WINDOW_S)
+        ]
+        toks = (
+            np.concatenate([np.asarray(t) for t in in_win["tokens"]]).astype(float)
+            if len(in_win)
+            else np.array([])
+        )
+        n_tok = in_win["n_tok"].to_numpy().astype(float)
+        assert r["n_rows"] == len(in_win)
+        assert r["tok_mean"] == pytest.approx(toks.mean(), rel=1e-9)
+        assert r["wavg"] == pytest.approx((n_tok * n_tok).sum() / n_tok.sum(), rel=1e-9)
+
+
+def test_streaming_token_stats_session_matches_replay(ray_session, fixture_dir):
+    """token_stats under SESSION windows: per-session token means match
+    a pandas gap-rule replay."""
+    out = "/tmp/rs_pytest_tok_sess"
+    shutil.rmtree(out, ignore_errors=True)
+    gap = 1800
+    cfg = StreamConfig(
+        specs={"wavg": "weighted_average"},
+        session_gap_s=gap,
+        allowed_lateness_s=10 * LATENESS_S,
+        n_partitions=4,
+        token_stats=True,
+    )
+    drv = StreamDriver(fixture_dir, out, cfg)
+    drv.run()
+    res = drv.result_table().to_pandas()
+    assert {"tok_mean", "tok_std"} <= set(res.columns)
+
+    src = pq.read_table(
+        sorted(glob.glob(os.path.join(fixture_dir, "arrival=*", "*.parquet")))
+    ).to_pandas()
+    ids = numeric_doc_id(pa.array(src["doc_id"]))
+    src["ts_us"] = event_time_us_from_numeric(ids)
+    src = src.sort_values(["source", "ts_us"], kind="stable", ignore_index=True)
+    sv, tv = src["source"].to_numpy(), src["ts_us"].to_numpy()
+    brk = np.ones(len(src), dtype=bool)
+    brk[1:] = (sv[1:] != sv[:-1]) | ((tv[1:] - tv[:-1]) > gap * 1_000_000)
+    src["sess"] = np.cumsum(brk)
+    exp = {}
+    for (s, _), g in src.groupby(["source", "sess"]):
+        toks = np.concatenate([np.asarray(t) for t in g["tokens"]]).astype(float)
+        exp[(s, int(g["ts_us"].min()))] = toks.mean()
+    assert len(exp) == len(res)
+    for _, r in res.iterrows():
+        key = (r["source"], int(r["window_start"]))
+        assert key in exp
+        assert r["tok_mean"] == pytest.approx(exp[key], rel=1e-9)
+
+
+def test_session_resume_equals_uninterrupted(ray_session, fixture_dir):
+    """Session-mode crash/resume: restore() must not inflate the ingest
+    barrier counters (regression: restore used to route through
+    ingest())."""
+    gap = 1800
+    def mk():
+        return StreamConfig(
+            specs={"wavg": "weighted_average", "wstd": "stddev_weighted"},
+            session_gap_s=gap,
+            allowed_lateness_s=LATENESS_S,
+            n_partitions=4,
+        )
+
+    out1, out2 = "/tmp/rs_pytest_sess_full", "/tmp/rs_pytest_sess_resume"
+    shutil.rmtree(out1, ignore_errors=True)
+    shutil.rmtree(out2, ignore_errors=True)
+    d_full = StreamDriver(fixture_dir, out1, mk())
+    d_full.run()
+    d1 = StreamDriver(fixture_dir, out2, mk())
+    d1.run(stop_after_epoch=1)  # "crash" after epoch 1's checkpoint
+    d2 = StreamDriver(fixture_dir, out2, mk())
+    d2.run(resume=True)
+    a = d_full.result_table().to_pandas().sort_values(
+        ["source", "window_start"], ignore_index=True
+    )
+    b = d2.result_table().to_pandas().sort_values(
+        ["source", "window_start"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_hopping_passthrough_matches_late_counts(ray_session, fixture_dir):
+    """Hopping + passthrough: the sink keeps exactly the rows the
+    aggregate path accepted (late iff ALL covering windows closed), and
+    late_dropped counts input rows, not expanded (row, window) pairs."""
+    out = "/tmp/rs_pytest_hop_pass"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = make_cfg(hop_s=WINDOW_S // 2, passthrough=True)
+    drv = StreamDriver(fixture_dir, out, cfg)
+    m = drv.run()
+    rows_in = sum(e["rows_in"] for e in m["epochs"].values())
+    dropped = sum(e["late_dropped"] for e in m["epochs"].values())
+    got = pq.read_table(
+        sorted(glob.glob(os.path.join(out, "passthrough", "epoch=*", "*.parquet")))
+    )
+    assert got.num_rows == rows_in - dropped
+    assert dropped > 0  # the fixture plants late arrivals
+
+
+def test_cleanup_lifecycle(ray_session, fixture_dir):
+    """Engine teardown parity (AllUdafIT.java:461-498): cleanup() kills
+    the actor pool and drops checkpoints; delete_output also removes
+    committed results (the DELETE TOPIC flag)."""
+    out = "/tmp/rs_pytest_cleanup"
+    shutil.rmtree(out, ignore_errors=True)
+    drv = StreamDriver(fixture_dir, out, make_cfg(passthrough=False))
+    drv.run(stop_after_epoch=0)
+    assert glob.glob(os.path.join(out, "_checkpoints", "epoch-*"))
+    actors = list(drv.actors)
+    drv.cleanup()
+    assert drv.actors is None
+    assert not os.path.exists(os.path.join(out, "_checkpoints"))
+    assert os.path.exists(os.path.join(out, "agg"))  # output kept
+    import ray
+
+    for a in actors:
+        with pytest.raises(Exception):
+            ray.get(a.get_metrics.remote(), timeout=10)
+    drv2 = StreamDriver(fixture_dir, out, make_cfg(passthrough=False))
+    drv2.run()  # fresh run over the same out dir works after teardown
+    drv2.cleanup(delete_output=True)
+    assert not os.path.exists(out)
