@@ -218,6 +218,11 @@ def embedding_lsh_pairs(
         pos[pos == want.size] = 0
         keep = want[pos] == ids
         sub = batch.filter(pa.array(keep))
+        if not sub.num_rows:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "vec": pa.array([], pa.list_(pa.float64()))}
+            )
         Xs = _normalize(_stack(sub[vec_col]))
         return pa.table(
             {

@@ -292,6 +292,60 @@ def _streaming_lengths(sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _run_stream_docs(sf_dir, cfg, cols):
+    """Run the StreamDriver over the derived token stream and return
+    the committed aggregate restricted to SQL-expressible columns."""
+    from raystat.pipelines.tokens import documents_stream_fixture
+    from raystat.streaming import StreamDriver
+
+    fix = documents_stream_fixture(sf_dir, n_epochs=4)
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="raystat_stream_q_")
+    try:
+        drv = StreamDriver(fix, out, cfg)
+        drv.run()
+        return drv.result_table().to_pandas()[cols]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_hopping_lengths(sf_dir):
+    """Streaming engine, HOPPING windows (size 6h, hop 3h) over
+    token-length statistics — the ksqlDB WINDOW HOPPING surface."""
+    from raystat.fixtures import epoch_len_us
+    from raystat.streaming import StreamConfig
+
+    cfg = StreamConfig(
+        specs={"wavg": "weighted_average", "wstd": "stddev_weighted"},
+        window_size_s=21600,
+        hop_s=10800,
+        allowed_lateness_s=epoch_len_us(4) // 1_000_000,
+        n_partitions=8,
+        n_salts=4,
+    )
+    return _run_stream_docs(sf_dir, cfg, ["source", "window_start", "wavg", "wstd"])
+
+
+def _streaming_session_lengths(sf_dir):
+    """Streaming engine, SESSION windows (2h gap) over token-length
+    statistics — the ksqlDB WINDOW SESSION surface."""
+    from raystat.fixtures import epoch_len_us
+    from raystat.streaming import StreamConfig
+
+    cfg = StreamConfig(
+        specs={"wavg": "weighted_average"},
+        session_gap_s=7200,
+        allowed_lateness_s=epoch_len_us(4) // 1_000_000,
+        n_partitions=8,
+    )
+    out = _run_stream_docs(
+        sf_dir, cfg, ["source", "window_start", "window_end", "wavg"]
+    )
+    return out
+
+
 V, W = "l_extendedprice", "l_quantity"
 
 QUERIES: list[QueryDef] = [
@@ -411,6 +465,41 @@ QUERIES: list[QueryDef] = [
               {sql_kurt(N_TOK_SQL)} AS kurt
             FROM documents GROUP BY source, window_start""",
     ),
+    QueryDef(
+        "streaming_hopping_lengths",
+        _streaming_hopping_lengths,
+        f"""WITH t AS (
+              SELECT source, {N_TOK_SQL} AS n_tok,
+                     ({EVENT_TIME_SQL})//1000000 AS ts_s
+              FROM documents)
+            SELECT source,
+              (ts_s//10800 - k.i) * 10800 AS window_start,
+              {sql_wavg('n_tok', 'n_tok')} AS wavg,
+              {sql_wstd('n_tok', 'n_tok')} AS wstd
+            FROM t CROSS JOIN (VALUES (0),(1)) k(i)
+            WHERE (ts_s//10800 - k.i) * 10800 > ts_s - 21600
+            GROUP BY source, window_start""",
+    ),
+    QueryDef(
+        "streaming_session_lengths",
+        _streaming_session_lengths,
+        f"""WITH t AS (
+              SELECT source, {N_TOK_SQL} AS n_tok, {EVENT_TIME_SQL} AS tu,
+                     lag({EVENT_TIME_SQL}) OVER (
+                       PARTITION BY source ORDER BY {EVENT_TIME_SQL}) AS prev
+              FROM documents
+            ), s AS (
+              SELECT *, sum(CASE WHEN prev IS NULL
+                                   OR tu - prev > cast(7200 as bigint)*1000000
+                                 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY source ORDER BY tu
+                           ROWS UNBOUNDED PRECEDING) AS sess
+              FROM t
+            )
+            SELECT source, min(tu) AS window_start, max(tu) AS window_end,
+                   {sql_wavg('n_tok', 'n_tok')} AS wavg
+            FROM s GROUP BY source, sess""",
+    ),
 ]
 
 
@@ -501,6 +590,69 @@ def _q_image_features(sf_dir):
     return image_features(_docs(sf_dir))
 
 
+def _q_image_resize(sf_dir):
+    """Decode -> nearest-neighbor resize -> re-encode (actor pool);
+    returns (doc_id, media_type) + the resized width/height decoded
+    back for checkability."""
+    import pyarrow as pa
+
+    from raystat.dataops.imagecodec import decode_png
+    from raystat.dataops.multimodal import ImageResizeStage, attach_image_payload
+
+    def verify_dims(batch: pa.Table) -> pa.Table:
+        dims = [decode_png(p).shape for p in batch["payload"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "out_h": pa.array([d[0] for d in dims], pa.int64()),
+                "out_w": pa.array([d[1] for d in dims], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(attach_image_payload, batch_format="pyarrow")
+        .map_batches(
+            ImageResizeStage, batch_format="pyarrow", batch_size=256,
+            concurrency=2, num_cpus=1,
+            fn_constructor_kwargs={"out_h": 16, "out_w": 16},
+        )
+        .map_batches(verify_dims, batch_format="pyarrow")
+    )
+
+
+def _q_frame_sample(sf_dir):
+    """Video stand-in: every doc becomes a 4-frame list<binary>
+    sequence; the actor stage keeps every 2nd frame."""
+    import pyarrow as pa
+
+    from raystat.dataops.imagecodec import encode_png
+    from raystat.dataops.multimodal import FrameSampleStage, synth_image
+
+    def to_video(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        frames = [
+            [encode_png(synth_image(int(i) * 4 + j, h=8, w=8)) for j in range(4)]
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "frames": pa.array(frames, pa.list_(pa.binary())),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(to_video, batch_format="pyarrow", batch_size=512)
+        .map_batches(
+            FrameSampleStage, batch_format="pyarrow", batch_size=256,
+            concurrency=2, num_cpus=1, fn_constructor_kwargs={"stride": 2},
+        )
+        .select_columns(["doc_id", "frame_index"])
+    )
+
+
 STOP_SQL = "('the','and','of','a','to')"
 NTOKD = f"cast({N_TOK_SQL} as double)"
 PUNCT_SQL = "cast(length(regexp_replace(text, '[^.!?,;]', '', 'g')) as double)"
@@ -578,6 +730,18 @@ QUERIES.extend(
         ),
         QueryDef("embedding_lsh_pairs", _q_embedding_lsh, None),
         QueryDef("image_features_documents", _q_image_features, None),
+        QueryDef(
+            "image_resize_documents",
+            _q_image_resize,
+            # every synthetic payload decodes and resizes to 16x16
+            "SELECT doc_id, cast(16 as bigint) AS out_h, cast(16 as bigint) AS out_w FROM documents",
+        ),
+        QueryDef(
+            "frame_sample_documents",
+            _q_frame_sample,
+            # 4-frame sequences, stride 2 -> frames 0 and 2 per doc
+            "SELECT doc_id, cast(k.i as bigint) AS frame_index FROM documents CROSS JOIN (VALUES (0),(2)) k(i)",
+        ),
     ]
 )
 
