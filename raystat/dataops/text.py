@@ -25,6 +25,9 @@ _ALPHA = re.compile(r"[A-Za-z]")
 _CJK = re.compile(r"[一-鿿぀-ヿ가-힯]")
 _CYR = re.compile(r"[Ѐ-ӿ]")
 STOPWORDS = ("the", "and", "of", "a", "to")
+# a whitespace-token equals a stopword iff bounded by non-\S on both
+# sides — same token model as _WS, no per-token Python loop
+_STOP = re.compile(r"(?<!\S)(?:%s)(?!\S)" % "|".join(STOPWORDS))
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
@@ -44,8 +47,7 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     n_chars = s.str.len().astype(np.float64)
     n_tok = s.str.count(r"\S+").astype(np.float64)
     punct = s.str.count(_PUNCT).astype(np.float64)
-    toks = s.str.findall(r"\S+")
-    stops = toks.map(lambda ws: sum(w in STOPWORDS for w in ws)).astype(np.float64)
+    stops = s.str.count(_STOP).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         punct_ratio = np.where(n_chars > 0, punct / n_chars, 0.0)
         stop_ratio = np.where(n_tok > 0, stops / n_tok, 0.0)

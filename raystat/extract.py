@@ -45,11 +45,31 @@ EVENT_TIME_SQL = (
 )
 
 
+import re as _re
+
+_PREFIX_RE = _re.compile(r"^(.*?)(\d+)$", _re.DOTALL)
+
+
 def numeric_doc_id(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     """int64 id from a doc_id column: numeric columns pass through;
-    string ids use their trailing digit suffix (``doc-%012d``)."""
+    string ids use their trailing digit suffix (``doc-%012d``).
+
+    Fast path: when all ids share the first row's non-digit prefix
+    (the fixture layout), a slice + int cast replaces the 3x-slower
+    per-row regex; any irregular id falls back to the regex."""
     if pa.types.is_integer(col.type):
         return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(col):
+        first = col[0].as_py()
+        m = _PREFIX_RE.match(first) if first is not None else None
+        if m and (not m.group(1) or pc.all(
+            pc.starts_with(col, m.group(1))
+        ).as_py()):
+            try:
+                sliced = pc.utf8_slice_codeunits(col, len(m.group(1)))
+                return sliced.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            except pa.ArrowInvalid:
+                pass  # digits-after-prefix assumption broken somewhere
     digits = pc.extract_regex(col, r"(?P<d>\d+)$")
     flat = pc.struct_field(digits, "d")
     return flat.cast(pa.int64()).to_numpy(zero_copy_only=False)

@@ -512,21 +512,27 @@ class StreamDriver:
         )
         if not files:
             return None
-        # Bytes-aware block count: the default planner splits tiny epochs
-        # into ctx.read_op_min_num_blocks (200) slivers, and per-task
-        # overhead then dominates epoch latency; conversely a tail epoch
-        # of a few KB should be ONE task, not one per CPU.
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        # Bytes-aware block count, CAPPED AT len(files): the default
+        # planner splits tiny epochs into ctx.read_op_min_num_blocks
+        # (200) slivers (per-task overhead dominates), while requesting
+        # MORE blocks than files inserts a SplitBlocks op that breaks
+        # read->map fusion — decoded token blocks then round-trip
+        # through the object store, whose first-touch page faults cost
+        # ~100x in this VM (measured: 123s vs 36s for one epoch at 32
+        # CPUs).  Parallelism beyond len(files) must come from the
+        # fixture layout (many smaller files), not from splitting.
         total_bytes = sum(os.path.getsize(f) for f in files)
-        nblocks = min(
-            max(1, total_bytes // (2 * 1024 * 1024)), max(len(files), ncpu)
-        )
+        nblocks = min(max(1, total_bytes // (2 * 1024 * 1024)), len(files))
         return rd.read_parquet(files, override_num_blocks=int(nblocks))
 
     def _run_epoch(self, epoch: int):
+        import time as _time
+
+        t0 = _time.monotonic()
         ds = self._epoch_dataset(epoch)
         wm_at_ingest = self.watermark_s  # late-drop predicate for BOTH sinks
         em = {"rows_in": 0, "late_dropped": 0, "partial_rows": 0, "max_ts_us": -1}
+        t_pipe = t_barrier = 0.0
         if ds is not None:
             if self.session_mode:
                 fn = _session_partial_stage(
@@ -548,6 +554,7 @@ class StreamDriver:
                 kwargs["batch_size"] = self.cfg.batch_size
             book = ds.map_batches(router, **kwargs)
             stats = book.to_pandas()  # tiny: one row per partial batch
+            t_pipe = _time.monotonic() - t0
             if len(stats):
                 em["rows_in"] = int(stats["rows_in"].sum())
                 em["late_dropped"] = int(stats["late_dropped"].sum())
@@ -555,17 +562,22 @@ class StreamDriver:
                 em["max_ts_us"] = int(stats["max_ts_us"].max())
                 self._ingest_expected += int(stats["ingest_calls"].sum())
             self._ingest_barrier()
+            t_barrier = _time.monotonic() - t0 - t_pipe
         if em["max_ts_us"] >= 0:
             self.watermark_s = max(
                 self.watermark_s,
                 em["max_ts_us"] // 1_000_000 - self.cfg.allowed_lateness_s,
             )
         self._emit(epoch, self.watermark_s)
+        t_emit = _time.monotonic() - t0 - t_pipe - t_barrier
         if self.pass_sink is not None and ds is not None:
             self.pass_sink.commit_dataset(
                 epoch, self._passthrough_ds(ds, wm_at_ingest)
             )
         em["watermark_s"] = self.watermark_s
+        em["sec_pipeline"] = round(t_pipe, 3)
+        em["sec_barrier"] = round(t_barrier, 3)
+        em["sec_emit"] = round(t_emit, 3)
         self.metrics[str(epoch)] = em
 
     def _passthrough_ds(self, ds, wm: int):
