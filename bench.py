@@ -40,10 +40,11 @@ def parse_sf(sf_dir: str) -> float:
 
 
 def bench_rows(sf: float) -> int:
-    # sized so per-epoch WORK dominates the ~3-4s fixed Ray Data
-    # execution cost per epoch (the regime every real deployment is in;
-    # see BASELINE.md): sf0.1 -> 26M sequences over 4 main epochs.
-    return max(100_000, int(260_000_000 * sf))
+    # sized so per-epoch WORK dominates the ~0.5s fixed Ray Data
+    # execution cost per epoch AT 32 CPUs (the regime every real
+    # deployment is in — the design scale is 10^12 sequences/epoch;
+    # see BASELINE.md): sf0.1 -> 52M sequences over 4 main epochs.
+    return max(100_000, int(520_000_000 * sf))
 
 
 def _warm_engine_path(fix: str, ncpu: int) -> None:

@@ -40,6 +40,9 @@ __all__ = [
     "ImageResizeStage",
     "FrameSampleStage",
     "image_features",
+    "synth_audio_wav",
+    "AudioFeatureStage",
+    "audio_features",
 ]
 
 _ENCODERS = (encode_png, encode_bmp, encode_ppm)
@@ -225,6 +228,115 @@ def image_features(ds, concurrency: int = 2, batch_size: int = 256):
     feature extraction."""
     return ds.map_batches(attach_image_payload, batch_format="pyarrow").map_batches(
         ImageFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# -- audio (WAV PCM16 — decoded with the stdlib wave module) ----------------
+
+
+def synth_audio_wav(seed: int, sr: int = 8000, dur_s: float = 0.25) -> bytes:
+    """Deterministic mono PCM16 WAV: seeded tone + noise."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    n = int(sr * dur_s)
+    t = np.arange(n) / sr
+    freq = 200.0 + (seed % 20) * 50.0
+    x = 0.6 * np.sin(2 * np.pi * freq * t) + 0.01 * rng.standard_normal(n)
+    pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: REAL WAV PCM16 decode (stdlib ``wave``) +
+    vectorized features: duration, RMS, zero-crossing rate, spectral
+    centroid & rolloff (one rFFT per clip), peak amplitude."""
+
+    def __init__(self, fake_ok: bool = True):
+        self.fake_ok = fake_ok
+
+    @staticmethod
+    def _features(pcm: np.ndarray, sr: int) -> np.ndarray:
+        x = pcm.astype(np.float64) / 32768.0
+        n = x.size
+        f = np.zeros(6, dtype=np.float64)
+        f[0] = n / sr
+        if n == 0:
+            return f
+        f[1] = float(np.sqrt((x * x).mean()))
+        f[2] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        spec = np.abs(np.fft.rfft(x)) ** 2  # power spectrum
+        freqs = np.fft.rfftfreq(n, 1.0 / sr)
+        tot = spec.sum()
+        if tot > 0:
+            f[3] = float((spec * freqs).sum() / tot)
+            cum = np.cumsum(spec)
+            f[4] = float(freqs[np.searchsorted(cum, 0.85 * tot)])
+        f[5] = float(np.abs(x).max())
+        return f
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        feats = np.zeros((batch.num_rows, 6), dtype=np.float64)
+        decoded = np.zeros(batch.num_rows, dtype=bool)
+        srs = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                with wave.open(io.BytesIO(p), "rb") as w:
+                    sr = w.getframerate()
+                    nch = w.getnchannels()
+                    raw = w.readframes(w.getnframes())
+                pcm = np.frombuffer(raw, dtype="<i2")
+                if nch > 1:
+                    pcm = pcm.reshape(-1, nch).mean(axis=1)
+                feats[i] = self._features(pcm, sr)
+                decoded[i] = True
+                srs[i] = sr
+            elif self.fake_ok:
+                feats[i] = ImageFeatureStage._digest_stub(p)[:6]
+            else:
+                raise ValueError("unrecognized audio payload and fake_ok=False")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "decoded": pa.array(decoded),
+                "sample_rate": pa.array(srs),
+                "features": pa.array(list(feats), type=pa.list_(pa.float64())),
+            }
+        )
+
+
+def audio_features(ds, concurrency: int = 2, batch_size: int = 256):
+    """documents -> synthetic WAV payloads -> actor-pool audio
+    feature extraction."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(
+                    [synth_audio_wav(int(i)) for i in ids], pa.binary()
+                ),
+                "media_type": pa.array(["audio/wav"] * batch.num_rows),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow").map_batches(
+        AudioFeatureStage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

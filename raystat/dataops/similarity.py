@@ -15,7 +15,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["ann_topk", "embedding_dup_pairs", "embedding_lsh_pairs"]
+__all__ = [
+    "ann_topk",
+    "embedding_dup_pairs",
+    "embedding_lsh_pairs",
+    "train_centroids",
+    "ivf_index",
+    "ann_topk_ivf",
+]
 
 
 def _stack(batch_col) -> np.ndarray:
@@ -84,6 +91,154 @@ def ann_topk(
         return parts
     parts = parts.sort_values(
         ["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="stable"
+    )
+    return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def train_centroids(
+    ds,
+    n_centroids: int = 16,
+    sample_size: int = 20_000,
+    iters: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means (Lloyd) on a driver-side
+    sample of normalized vectors.  Deterministic (seeded init from the
+    sample); the sample — not the corpus — bounds driver memory."""
+    sample = ds.limit(sample_size).to_pandas()
+    X = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def ivf_index(
+    ds,
+    out_dir: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize an IVF index: one Parquet partition directory per
+    centroid (``centroid=<c>/``).  This is the 100-TB shape — searches
+    prune at the READ (only probed partitions are opened), and a failed
+    build can re-run per partition.  One streaming assignment pass."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        X = _normalize(_stack(batch[vec_col]))
+        a = np.argmax(X @ C.T, axis=1).astype(np.int64)
+        # centroid kept as a data column too (partition_cols strips the
+        # hive column from the files; search reads files directly)
+        return batch.append_column("centroid", pa.array(a)).append_column(
+            "centroid_part", pa.array(a)
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["centroid_part"]
+    )
+    return out_dir
+
+
+def ann_topk_ivf(
+    index_dir: str,
+    centroids: np.ndarray,
+    query_vectors: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """IVF search over an ``ivf_index`` directory: each query probes
+    its ``nprobe`` nearest centroids; only those partitions are READ
+    (column/partition pruning does the work Ray-side), then the probed
+    subset runs the same broadcast partial-top-k as :func:`ann_topk`.
+    ``nprobe=None`` probes everything (exact — equals brute force).
+    Returns (query_id, neighbor_id, cos) like ann_topk."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    nprobe = len(C) if nprobe is None else min(nprobe, len(C))
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    probe_dirs = sorted(
+        {
+            f
+            for c in np.unique(probes)
+            for d in glob.glob(os.path.join(index_dir, f"centroid_part={c}"))
+            for f in glob.glob(os.path.join(d, "*.parquet"))
+        }
+    )
+    if not probe_dirs:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype=np.int64),
+             "neighbor_id": pd.Series(dtype=np.int64),
+             "cos": pd.Series(dtype=np.float64)}
+        )
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put((Q, qids, probes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        Qm, qi, pr = ray.get(qref)
+        X = _normalize(_stack(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cent = batch["centroid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_n, out_c = [], [], []
+        Cb = X @ Qm.T
+        for j in range(Qm.shape[0]):
+            mask = np.isin(cent, pr[j])  # only this query's probed lists
+            if exclude_self:
+                mask &= ids != qi[j]
+            if not mask.any():
+                continue
+            cj, ij = Cb[mask, j], ids[mask]
+            kk = min(k, len(cj))
+            order = np.lexsort((ij, -cj))[:kk]
+            out_q.append(np.full(kk, qi[j], dtype=np.int64))
+            out_n.append(ij[order])
+            out_c.append(cj[order])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    ds = rd.read_parquet(probe_dirs)
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return parts
+    parts = parts.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
     )
     return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 

@@ -569,6 +569,34 @@ def _q_ann_topk(sf_dir):
     return out[["query_id", "neighbor_id"]]
 
 
+def _q_ann_topk_ivf(sf_dir):
+    """IVF-partitioned ANN (the 100-TB shape: index partitioned by
+    centroid, search prunes at the read).  Probing ALL lists makes it
+    exact, so it shares ann_topk's SQL oracle; pruned-probe recall is
+    pytest-verified (tests/test_dataops.py)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raystat.dataops.similarity import ann_topk_ivf, ivf_index, train_centroids
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).slice(0, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    idx = tempfile.mkdtemp(prefix="raystat_ivf_")
+    try:
+        C = train_centroids(emb, n_centroids=8)
+        ivf_index(emb, idx, C)
+        out = ann_topk_ivf(idx, C, Q, qt["vec_id"].to_numpy(), k=10, nprobe=None)
+        return out[["query_id", "neighbor_id"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_embedding_dups(sf_dir):
     from raystat.dataops.similarity import embedding_dup_pairs
 
@@ -588,6 +616,12 @@ def _q_image_features(sf_dir):
     from raystat.dataops.multimodal import image_features
 
     return image_features(_docs(sf_dir))
+
+
+def _q_audio_features(sf_dir):
+    from raystat.dataops.multimodal import audio_features
+
+    return audio_features(_docs(sf_dir))
 
 
 def _q_image_resize(sf_dir):
@@ -721,6 +755,18 @@ QUERIES.extend(
                           c.vec_id) <= 10""",
         ),
         QueryDef(
+            "ann_topk_ivf_embeddings",
+            _q_ann_topk_ivf,
+            """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+               WHERE q.vec_id < 5
+               QUALIFY row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(cast(q.embedding as double[]),
+                                                 cast(c.embedding as double[])) DESC,
+                          c.vec_id) <= 10""",
+        ),
+        QueryDef(
             "embedding_dup_pairs",
             _q_embedding_dups,
             """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -730,6 +776,7 @@ QUERIES.extend(
         ),
         QueryDef("embedding_lsh_pairs", _q_embedding_lsh, None),
         QueryDef("image_features_documents", _q_image_features, None),
+        QueryDef("audio_features_documents", _q_audio_features, None),
         QueryDef(
             "image_resize_documents",
             _q_image_resize,

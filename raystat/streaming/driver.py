@@ -89,27 +89,59 @@ class StreamConfig:
 
 def _row_token_sums(batch: pa.Table, tokens_col: str, rows_in: int) -> dict[str, np.ndarray]:
     """Per-ROW token power sums (t_n, t_s1..t_s4) over the original
-    batch rows: flatten zero-copy, bincount by list_parent_indices.
-    Row-level sums compose additively into any window assignment
-    (tumbling / hopping expansion / sessions) without re-touching the
-    token arrays — a hopping row contributes its precomputed sums once
-    per covering window instead of re-flattening tokens per window."""
-    import pyarrow.compute as pc
+    batch rows.  Row-level sums compose additively into any window
+    assignment (tumbling / hopping expansion / sessions) without
+    re-touching the token arrays.
 
-    tok_col = batch[tokens_col].combine_chunks()
-    flat_raw = pc.list_flatten(tok_col).to_numpy(zero_copy_only=False)
-    parents = pc.list_parent_indices(tok_col).to_numpy(zero_copy_only=False)
-    nt = flat_raw.size
-    flat = astype_f8("flat", flat_raw)
+    The list layout is exploited directly: token values are contiguous
+    per row, so each power sum is ``np.add.reduceat`` over the Arrow
+    list OFFSETS — sequential reads of the value buffer only, no
+    8-byte parent-index read per token per pass (vs bincount-by-
+    list_parent_indices this removes ~40 B/token of DRAM traffic,
+    which is what contends at 32 workers)."""
+    if rows_in == 0:
+        z = np.zeros(0, dtype=np.float64)
+        return {c: z for c in ("t_n", "t_s1", "t_s2", "t_s3", "t_s4")}
+    tok_col = batch[tokens_col]
+    if isinstance(tok_col, pa.ChunkedArray):
+        tok_col = tok_col.combine_chunks()
+    if isinstance(tok_col, pa.ChunkedArray):  # single- or zero-chunk wrap
+        tok_col = (
+            tok_col.chunk(0)
+            if tok_col.num_chunks
+            else pa.array([], type=tok_col.type)
+        )
+    off = tok_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = tok_col.values.to_numpy(zero_copy_only=False)
+    lo, hi = int(off[0]), int(off[-1])
+    nt = hi - lo
+    flat = astype_f8("flat", vals[lo:hi])
+    counts = off[1:] - off[:-1]
+    idx = off[:-1] - lo
+    empty = counts == 0
+    has_empty = bool(empty.any())
+    if has_empty:
+        # reduceat misbehaves on zero-length segments (returns the
+        # element at the start index); clamp then zero them out
+        idx = np.minimum(idx, max(nt - 1, 0))
+
+    def seg_sum(arr: np.ndarray) -> np.ndarray:
+        if nt == 0:
+            return np.zeros(rows_in, dtype=np.float64)
+        s = np.add.reduceat(arr, idx)
+        if has_empty:
+            s[empty] = 0.0
+        return s
+
     tr: dict[str, np.ndarray] = {
-        "t_n": np.bincount(parents, minlength=rows_in).astype(np.float64),
-        "t_s1": np.bincount(parents, weights=flat, minlength=rows_in),
+        "t_n": counts.astype(np.float64),
+        "t_s1": seg_sum(flat),
     }
     tp = buf("tpow", nt)
     np.copyto(tp, flat)
     for i in range(2, 5):
         np.multiply(tp, flat, out=tp)
-        tr[f"t_s{i}"] = np.bincount(parents, weights=tp, minlength=rows_in)
+        tr[f"t_s{i}"] = seg_sum(tp)
     return tr
 
 
@@ -131,6 +163,14 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
     value_col, weight_col, n_salts = cfg.value_col, cfg.weight_col, cfg.n_salts
     token_stats = cfg.token_stats
     t_cols = ("t_n", "t_s1", "t_s2", "t_s3", "t_s4")
+    # weight == value (e.g. n_tok-weighted token lengths): every
+    # weighted sum is an unweighted power sum one order up — alias
+    # instead of recomputing (sum w·x^i == u_s{i+1})
+    alias_w = (
+        weight_col is not None
+        and weight_col == value_col
+        and u_order >= w_order + 1
+    )
 
     def empty_table() -> pa.Table:
         return pa.table(
@@ -167,7 +207,7 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
         x = astype_f8("x", batch[value_col].to_numpy(zero_copy_only=False))
         w = (
             astype_f8("w", batch[weight_col].to_numpy(zero_copy_only=False))
-            if weight_col is not None
+            if weight_col is not None and not alias_w
             else None
         )
         tr = _row_token_sums(batch, cfg.tokens_col, rows_in) if token_stats else None
@@ -241,7 +281,12 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
             for i in range(2, u_order + 1):
                 np.multiply(pb, g_x, out=pb)
                 sums[f"u_s{i}"] = gsum(pb)
-        if w_order:
+        if w_order and alias_w:
+            sums["w_sw"] = sums["u_s1"]
+            sums["w_sv"] = sums["u_s2"]
+            for i in range(2, w_order + 1):
+                sums[f"w_s{i}"] = sums[f"u_s{i + 1}"]
+        elif w_order:
             wp = buf("wpow", m)
             sums["w_sw"] = gsum(g_w)
             np.multiply(g_w, g_x, out=wp)

@@ -27,7 +27,9 @@ class MetadataJoin:
     def __init__(self, grace_epochs: int = 2):
         self.grace = grace_epochs
         self.meta: dict[str, float] = {}
-        self.pending: list[dict] = []  # buffered aggregate rows + _deadline
+        # buffered aggregate rows + _deadline column (vectorized state;
+        # per-row Python only at checkpoint serialization)
+        self.pending: pd.DataFrame = pd.DataFrame()
         self.metrics = {"joined": 0, "buffered": 0, "expired_null": 0}
 
     def update(self, sources: list[str], qualities: list[float]) -> None:
@@ -36,43 +38,42 @@ class MetadataJoin:
 
     def process(self, df: pd.DataFrame, epoch: int) -> pd.DataFrame:
         """Join this epoch's closed-window rows + re-check the pending
-        buffer; returns all rows emittable this epoch."""
-        rows = df.to_dict("records") if len(df) else []
-        for r in rows:
-            r["_deadline"] = epoch + self.grace
-        candidates = self.pending + rows
-        out, still = [], []
-        for r in candidates:
-            q = self.meta.get(r["source"])
-            if q is not None:
-                r["quality"] = q
-                self.metrics["joined"] += 1
-                out.append(r)
-            elif r["_deadline"] <= epoch:
-                r["quality"] = np.nan
-                self.metrics["expired_null"] += 1
-                out.append(r)
-            else:
-                still.append(r)
-        self.pending = still
-        self.metrics["buffered"] = len(still)
-        res = pd.DataFrame(out)
-        if len(res):
-            res = res.drop(columns=["_deadline"])
-        return res
+        buffer; returns all rows emittable this epoch.  Fully
+        vectorized: map + boolean masks, no row loop."""
+        if len(df):
+            df = df.copy()
+            df["_deadline"] = epoch + self.grace
+            cand = (
+                pd.concat([self.pending, df], ignore_index=True)
+                if len(self.pending)
+                else df
+            )
+        else:
+            cand = self.pending
+        if not len(cand):
+            self.metrics["buffered"] = 0
+            return pd.DataFrame()
+        q = cand["source"].map(self.meta)
+        have = q.notna().to_numpy()
+        expired = (~have) & (cand["_deadline"].to_numpy() <= epoch)
+        emit = have | expired
+        out = cand[emit].copy()
+        out["quality"] = q[emit]
+        self.metrics["joined"] += int(have.sum())
+        self.metrics["expired_null"] += int(expired.sum())
+        self.pending = cand[~emit].reset_index(drop=True)
+        self.metrics["buffered"] = len(self.pending)
+        return out.drop(columns=["_deadline"]).reset_index(drop=True)
 
     def flush_all(self) -> pd.DataFrame:
         """End of stream: emit everything left, null quality where
         metadata never arrived."""
-        out = []
-        for r in self.pending:
-            r["quality"] = self.meta.get(r["source"], np.nan)
-            out.append(r)
-        self.pending = []
-        res = pd.DataFrame(out)
-        if len(res):
-            res = res.drop(columns=["_deadline"])
-        return res
+        if not len(self.pending):
+            return pd.DataFrame()
+        out = self.pending.copy()
+        out["quality"] = out["source"].map(self.meta).astype(float)
+        self.pending = pd.DataFrame()
+        return out.drop(columns=["_deadline"]).reset_index(drop=True)
 
     # -- checkpoint --------------------------------------------------------
 
@@ -83,7 +84,10 @@ class MetadataJoin:
         return {
             "grace": self.grace,
             "meta": {k: float(v) for k, v in self.meta.items()},
-            "pending": [{k: py(v) for k, v in r.items()} for r in self.pending],
+            "pending": [
+                {k: py(v) for k, v in r.items()}
+                for r in self.pending.to_dict("records")
+            ],
             "metrics": self.metrics,
         }
 
@@ -91,6 +95,6 @@ class MetadataJoin:
     def from_state(cls, st: dict) -> "MetadataJoin":
         j = cls(st["grace"])
         j.meta = dict(st["meta"])
-        j.pending = list(st["pending"])
+        j.pending = pd.DataFrame(list(st["pending"]))
         j.metrics = dict(st["metrics"])
         return j

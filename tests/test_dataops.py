@@ -336,3 +336,63 @@ def test_minhash_lsh_larger_fixture(ray_session):
     j = pairs.set_index(["doc_a", "doc_b"])["jaccard"]
     for p in planted:
         assert j.loc[p] == 1.0  # output jaccard is exact, not estimated
+
+
+def test_ann_ivf_index_and_search(ray_session, tmp_path):
+    """IVF index partitions by centroid; full probe equals brute force
+    exactly; pruned probe reads fewer partitions with high recall."""
+    import os
+
+    from raystat.dataops.similarity import (
+        ann_topk,
+        ann_topk_ivf,
+        ivf_index,
+        train_centroids,
+    )
+
+    ds, X = _emb_ds(ray_session, n=200, dim=16)
+    C = train_centroids(ds, n_centroids=8, sample_size=200)
+    idx = str(tmp_path / "ivf")
+    ivf_index(ds, idx, C)
+    parts = [d for d in os.listdir(idx) if d.startswith("centroid_part=")]
+    assert len(parts) >= 2  # really partitioned
+
+    Q, qids = X[:4], np.arange(4)
+    exact = ann_topk(ds, Q, qids, k=10)
+    full = ann_topk_ivf(idx, C, Q, qids, k=10, nprobe=None)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True)[["query_id", "neighbor_id"]],
+        full.reset_index(drop=True)[["query_id", "neighbor_id"]],
+    )
+    pruned = ann_topk_ivf(idx, C, Q, qids, k=10, nprobe=3)
+    hits = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        p = set(pruned[pruned["query_id"] == q]["neighbor_id"])
+        hits += len(e & p) / max(len(e), 1)
+    assert hits / len(qids) >= 0.5  # random gaussian data: modest recall floor
+
+
+def test_audio_wav_decode_features():
+    """Real WAV decode (stdlib wave): planted tone's spectral centroid
+    lands near the tone frequency; RMS near 0.6/sqrt(2)."""
+    import pyarrow as pa
+
+    from raystat.dataops.multimodal import AudioFeatureStage, synth_audio_wav
+
+    seed = 4  # tone at 200 + 4*50 = 400 Hz
+    t = pa.table(
+        {
+            "doc_id": pa.array([seed], pa.int64()),
+            "payload": pa.array([synth_audio_wav(seed)], pa.binary()),
+        }
+    )
+    out = AudioFeatureStage()(t)
+    assert out["decoded"].to_pylist() == [True]
+    assert out["sample_rate"].to_pylist() == [8000]
+    f = np.asarray(out["features"][0].as_py())
+    assert f[0] == pytest.approx(0.25)  # duration
+    assert f[1] == pytest.approx(0.6 / np.sqrt(2), rel=0.05)  # rms
+    assert f[3] == pytest.approx(400.0, rel=0.05)  # power centroid at the tone
+    assert f[4] == pytest.approx(400.0, rel=0.05)  # rolloff at the tone too
+    assert f[5] <= 1.0

@@ -463,3 +463,66 @@ def test_cleanup_lifecycle(ray_session, fixture_dir):
     drv2.run()  # fresh run over the same out dir works after teardown
     drv2.cleanup(delete_output=True)
     assert not os.path.exists(out)
+
+
+def test_high_cardinality_sources(ray_session, tmp_path):
+    """1000 distinct sources: the consolidation/merge path is
+    vectorized end to end; streaming result equals the batch twin."""
+    import ray.data as rd
+
+    from raystat.aggregate import grouped_moments
+    from raystat.extract import add_event_time
+    from raystat.windows import Tumbling
+
+    rng = np.random.default_rng(99)
+    n = 60_000
+    ids = np.arange(n, dtype=np.int64)
+    doc_id = np.char.add("doc-", np.char.zfill(ids.astype(str), 12))
+    src = np.char.add("s", rng.integers(0, 1000, size=n).astype(str))
+    n_tok = rng.integers(1, 300, size=n).astype(np.int32)
+    flat = rng.integers(0, 100, size=int(n_tok.sum()), dtype=np.int32)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offs[1:])
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(flat)),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    from raystat.extract import T0_US, event_time_us_from_numeric, numeric_doc_id
+    from raystat.fixtures import epoch_len_us
+
+    ev = event_time_us_from_numeric(numeric_doc_id(t["doc_id"]))
+    epoch = (ev - T0_US) // epoch_len_us(4)
+    fix = str(tmp_path / "hc")
+    for e in np.unique(epoch):
+        d = os.path.join(fix, f"arrival={int(e)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t.filter(pa.array(epoch == e)), os.path.join(d, "p.parquet"))
+
+    out = str(tmp_path / "hc_out")
+    cfg = StreamConfig(
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=10 * LATENESS_S,
+        n_partitions=8,
+        n_salts=4,
+    )
+    drv = StreamDriver(fix, out, cfg)
+    drv.run()
+    got = drv.result_table().to_pandas().sort_values(
+        ["source", "window_start"], ignore_index=True
+    )
+    assert got["source"].nunique() == 1000
+
+    exp = grouped_moments(
+        rd.from_arrow(t).map_batches(add_event_time, batch_format="pyarrow"),
+        {"wavg": "weighted_average", "wstd": "stddev_weighted",
+         "skew": "skewness", "kurt": "kurtosis"},
+        ["source"], value="n_tok", weight="n_tok",
+        window=Tumbling(WINDOW_S), ts="ts",
+    ).to_pandas().sort_values(["source", "window_start"], ignore_index=True)
+    assert len(got) == len(exp)
+    for c in ["wavg", "wstd", "skew", "kurt"]:
+        np.testing.assert_allclose(got[c], exp[c], rtol=1e-9, atol=1e-12)
