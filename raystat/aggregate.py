@@ -59,6 +59,9 @@ def partial_sums(
     tune_allocator()  # idempotent; needed under by-value pickling
     n = x.size
     arrays: dict[str, np.ndarray] = {}
+    # weight is literally the value array (e.g. n_tok-weighted n_tok):
+    # every weighted sum is an unweighted power sum one order up
+    alias_w = w is x and u_order >= w_order + 1
     # power columns go into named per-worker scratch buffers: fresh
     # mmap'd allocations cost ~100x the compute in this environment;
     # pa.table() wraps them zero-copy and group_by consumes them
@@ -74,7 +77,12 @@ def partial_sums(
             np.multiply(prev, x, out=pb)
             arrays[f"u_s{i}"] = pb
             prev = pb
-    if w_order:
+    if w_order and alias_w:
+        arrays["w_sw"] = arrays["u_s1"]
+        arrays["w_sv"] = arrays["u_s2"]
+        for i in range(2, w_order + 1):
+            arrays[f"w_s{i}"] = arrays[f"u_s{i + 1}"]
+    elif w_order:
         assert w is not None
         arrays["w_sw"] = w
         wv = buf("ps_wv", n)
@@ -108,11 +116,12 @@ def _clean_xw(batch: pa.Table, value: str, weight: str | None):
     if mask is not None:
         batch = batch.filter(mask)
     x = batch[value].cast(pa.float64()).to_numpy(zero_copy_only=False)
-    w = (
-        batch[weight].cast(pa.float64()).to_numpy(zero_copy_only=False)
-        if weight is not None
-        else None
-    )
+    if weight == value:
+        w = x  # identical object => partial_sums can alias power sums
+    elif weight is not None:
+        w = batch[weight].cast(pa.float64()).to_numpy(zero_copy_only=False)
+    else:
+        w = None
     return batch, x, w
 
 
