@@ -188,7 +188,7 @@ def main() -> None:
         return
 
     # -- batch queries run on a 10x-smaller token fixture so the whole
-    # bench stays bounded (the 26M fixture is the headline's alone) ----
+    # bench stays bounded (the 52M fixture is the headline's alone) ----
     n_small = max(100_000, n_rows // 10)
     fix_small = f"/tmp/raystat_fixtures/bench_{n_small}"
     write_stream_fixture(

@@ -36,18 +36,20 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist()
     words_per_doc = [_WS.findall(t or "") for t in texts]
     n_tok = np.array([len(w) for w in words_per_doc], dtype=np.int32)
-    vocab_cache: dict[str, int] = {}
-
-    def tok(w: str) -> int:
-        v = vocab_cache.get(w)
-        if v is None:
-            v = zlib.crc32(w.encode()) % VOCAB
-            vocab_cache[w] = v
-        return v
-
-    flat = np.fromiter(
-        (tok(w) for ws in words_per_doc for w in ws), dtype=np.int32, count=int(n_tok.sum())
+    # hash each UNIQUE word once; scatter back with the factorization
+    all_words = np.array(
+        [w for ws in words_per_doc for w in ws], dtype=object
     )
+    if all_words.size:
+        uniq, inv = np.unique(all_words, return_inverse=True)
+        codes = np.fromiter(
+            (zlib.crc32(w.encode()) % VOCAB for w in uniq),
+            dtype=np.int32,
+            count=len(uniq),
+        )
+        flat = codes[inv]
+    else:
+        flat = np.zeros(0, dtype=np.int32)
     offsets = np.zeros(len(texts) + 1, dtype=np.int32)
     np.cumsum(n_tok, out=offsets[1:])
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
