@@ -540,13 +540,19 @@ class StreamDriver:
                 start = ck + 1
         self._ensure_actors()
         last = epochs[-1]
+        import time as _time
+
         for e in [x for x in epochs if x >= start]:
+            t0 = _time.monotonic()
             self._run_epoch(e)
             self._checkpoint(e)
+            self.metrics[str(e)]["sec_total"] = round(_time.monotonic() - t0, 3)
             if stop_after_epoch is not None and e >= stop_after_epoch:
                 return self._final_metrics()
         # end of stream: close everything (watermark -> +inf), flush joins
+        t0 = _time.monotonic()
         self._finalize_stream(last + 1)
+        self.tail_sec = round(_time.monotonic() - t0, 3)
         return self._final_metrics()
 
     def _epoch_dataset(self, epoch: int):
