@@ -103,6 +103,28 @@ N_TOK_SQL = (
 TOK_WS_SQL = f"cast((({EVENT_TIME_SQL})//1000000)//21600*21600 as bigint)"
 
 
+def token_id_sql(w: str) -> str:
+    """DuckDB twin of tokens.word_token_id: fold codepoints base 31
+    mod 1_000_003, then mod VOCAB."""
+    return (
+        f"(list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform(string_split({w}, ''), c -> cast(unicode(c) as bigint))), "
+        f"(a, b) -> (a * 31 + b) % 1000003) % 50257)"
+    )
+
+
+# one row per (doc, token): token VALUES exactly as tokenize_batch emits
+TOK_FLAT_SQL = (
+    "SELECT source, "
+    f"{TOK_WS_SQL} AS window_start, "
+    "unnest(list_transform("
+    "  CASE WHEN length(trim(text)) = 0 THEN cast([] AS varchar[]) "
+    "       ELSE string_split_regex(trim(text), '\\s+') END, "
+    f" w -> {token_id_sql('w')})) AS token "
+    "FROM documents"
+)
+
+
 # --------------------------------------------------------------------------
 # Query definitions
 # --------------------------------------------------------------------------
@@ -311,6 +333,27 @@ def _run_stream_docs(sf_dir, cfg, cols):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _streaming_token_values(sf_dir):
+    """The flagship streaming engine's token-VALUE moments, restricted
+    to SQL-expressible columns: per-(source, 6h window) moments over
+    every token id — reproducible in DuckDB because the tokenizer hash
+    is SQL-expressible (token_id_sql)."""
+    from raystat.fixtures import epoch_len_us
+    from raystat.streaming import StreamConfig
+
+    cfg = StreamConfig(
+        window_size_s=21600,
+        allowed_lateness_s=epoch_len_us(4) // 1_000_000,
+        n_partitions=8,
+        n_salts=4,
+        token_stats=True,
+    )
+    return _run_stream_docs(
+        sf_dir, cfg,
+        ["source", "window_start", "tok_mean", "tok_std", "tok_skew", "tok_kurt"],
+    )
+
+
 def _streaming_hopping_lengths(sf_dir):
     """Streaming engine, HOPPING windows (size 6h, hop 3h) over
     token-length statistics — the ksqlDB WINDOW HOPPING surface."""
@@ -452,7 +495,17 @@ QUERIES: list[QueryDef] = [
               {sql_kurt(N_TOK_SQL)} AS kurt
             FROM documents GROUP BY source, window_start""",
     ),
-    QueryDef("token_value_stats", _token_value_stats, None),
+    QueryDef(
+        "token_value_stats",
+        _token_value_stats,
+        f"""WITH f AS ({TOK_FLAT_SQL})
+            SELECT source,
+              {sql_wavg('token', '1.0')} AS tok_mean,
+              {sql_wstd('token', '1.0')} AS tok_std,
+              {sql_skew('token')} AS tok_skew,
+              {sql_kurt('token')} AS tok_kurt
+            FROM f GROUP BY source""",
+    ),
     QueryDef("passthrough_tokens", _passthrough_tokens, None),
     QueryDef("streaming_windowed_tokens", _streaming_tokens, None),
     QueryDef(
@@ -464,6 +517,17 @@ QUERIES: list[QueryDef] = [
               {sql_skew(N_TOK_SQL)} AS skew,
               {sql_kurt(N_TOK_SQL)} AS kurt
             FROM documents GROUP BY source, window_start""",
+    ),
+    QueryDef(
+        "streaming_token_values",
+        _streaming_token_values,
+        f"""WITH f AS ({TOK_FLAT_SQL})
+            SELECT source, window_start,
+              {sql_wavg('token', '1.0')} AS tok_mean,
+              {sql_wstd('token', '1.0')} AS tok_std,
+              {sql_skew('token')} AS tok_skew,
+              {sql_kurt('token')} AS tok_kurt
+            FROM f GROUP BY source, window_start""",
     ),
     QueryDef(
         "streaming_hopping_lengths",

@@ -2,18 +2,18 @@
 
 Produces the BASELINE.json:input_hint schema
 ``(doc_id: string, tokens: list<int32>, n_tok: int32, source: string)``
-deterministically: whitespace tokens of ``text``, each mapped to
-``crc32(word) % VOCAB`` (stable across processes/versions).  The token
-COUNT (``n_tok``) is SQL-expressible in DuckDB, so windowed
-token-length statistics over this stream have exact SQL oracles; the
-token VALUES are hash-derived and checked by rows-only/pytest paths.
+deterministically: whitespace tokens of ``text``, each mapped to a
+polynomial codepoint hash ``poly31(word) % VOCAB`` (stable across
+processes/versions AND reproducible in DuckDB via
+``list_reduce(list_transform(string_split(w,''), unicode), ...)`` —
+see queries.TOKEN_ID_SQL), so BOTH token counts and token VALUES over
+this stream have exact SQL oracles.
 """
 
 from __future__ import annotations
 
 import os
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -22,7 +22,18 @@ from raystat.extract import event_time_us_from_numeric, numeric_doc_id
 from raystat.fixtures import epoch_len_us
 
 VOCAB = 50257
+_POLY_MOD = 1_000_003
 _WS = re.compile(r"\S+")
+_TOKENIZER_VERSION = 2  # poly31 codepoint hash (v1 was crc32)
+
+
+def word_token_id(w: str) -> int:
+    """SQL-reproducible word hash: fold codepoints with base 31 mod
+    1_000_003, then mod VOCAB (DuckDB twin: queries.TOKEN_ID_SQL)."""
+    h = 0
+    for c in w:
+        h = (h * 31 + ord(c)) % _POLY_MOD
+    return h % VOCAB
 
 __all__ = ["tokenize_batch", "tokenize_documents", "documents_stream_fixture"]
 
@@ -43,9 +54,7 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
     if all_words.size:
         uniq, inv = np.unique(all_words, return_inverse=True)
         codes = np.fromiter(
-            (zlib.crc32(w.encode()) % VOCAB for w in uniq),
-            dtype=np.int32,
-            count=len(uniq),
+            (word_token_id(w) for w in uniq), dtype=np.int32, count=len(uniq)
         )
         flat = codes[inv]
     else:
@@ -84,9 +93,16 @@ def documents_stream_fixture(sf_dir: str, n_epochs: int = 4, root: str = "/tmp/r
     tag = sf_dir.strip("/").replace("/", "_")
     out = os.path.join(root, f"docs_{tag}_e{n_epochs}")
     done = os.path.join(out, "_fixture.json")
-    if os.path.exists(done):
-        return out
+    params = {"sf_dir": sf_dir, "n_epochs": n_epochs, "tok_v": _TOKENIZER_VERSION}
     import json
+
+    if os.path.exists(done):
+        try:
+            with open(done) as f:
+                if json.load(f) == params:
+                    return out
+        except Exception:
+            pass  # stale/corrupt manifest: rebuild
     import shutil
 
     tmp = out + ".tmp"
@@ -106,6 +122,6 @@ def documents_stream_fixture(sf_dir: str, n_epochs: int = 4, root: str = "/tmp/r
         os.makedirs(d, exist_ok=True)
         pq.write_table(tok.filter(pa.array(epoch == e)), os.path.join(d, "part-00000.parquet"))
     with open(os.path.join(tmp, "_fixture.json"), "w") as f:
-        json.dump({"sf_dir": sf_dir, "n_epochs": n_epochs}, f)
+        json.dump(params, f)
     os.replace(tmp, out)
     return out
