@@ -40,12 +40,12 @@ def parse_sf(sf_dir: str) -> float:
 
 
 def bench_rows(sf: float) -> int:
-    # sized so per-epoch WORK dominates the ~2s fixed Ray Data
+    # sized so per-epoch WORK dominates the ~0.5s fixed Ray Data
     # execution cost per epoch AT 32 CPUs (executor ramp + drain; the
     # regime every real deployment is in — the design scale is 10^12
-    # sequences/epoch; see BASELINE.md): sf0.1 -> 104M sequences over
-    # 4 main arrival epochs (~26M sequences / ~2.4G tokens each).
-    return max(100_000, int(1_040_000_000 * sf))
+    # sequences/epoch; see BASELINE.md): sf0.1 -> 52M sequences over
+    # 4 main arrival epochs (~13M sequences / ~1.2G tokens each).
+    return max(100_000, int(520_000_000 * sf))
 
 
 def _warm_engine_path(fix: str, ncpu: int) -> None:
@@ -73,7 +73,9 @@ def _warm_engine_path(fix: str, ncpu: int) -> None:
     ]
     ray.get([a.get_metrics.remote() for a in actors])
     files = sorted(glob.glob(os.path.join(fix, "arrival=0", "*.parquet")))
-    files = files[: min(len(files), ncpu)]  # one wave covers every CPU
+    # several waves per worker: allocator arenas and scratch pools grow
+    # over the first batches, and a single wave leaves them cold
+    files = files[: min(len(files), 4 * ncpu)]
     fn = _partial_stage(cfg, needed, u, w, -(2**62))
     router = Router(actors, N_PARTITIONS, fn)
     rd.read_parquet(files, override_num_blocks=len(files)).map_batches(

@@ -176,7 +176,7 @@ def grouped_moments(
             groups = {_GLOBAL_KEY: np.zeros(x.size, dtype=np.int8)}
         return partial_sums(groups, x, w, u_order, w_order)
 
-    kwargs = {"batch_format": "pyarrow"}
+    kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     partials = ds.map_batches(partial, **kwargs)

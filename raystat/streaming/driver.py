@@ -200,7 +200,13 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
         late_n = rows_in - int(row_keep.sum())
         info["late_dropped"] = late_n
 
-        salt = (ids % n_salts).astype(np.int64)
+        # BATCH-level salt: spreading a hot source's load over actors
+        # only needs different BATCHES to route differently, not
+        # different rows — a constant salt per batch (derived from the
+        # data, deterministic under replay) shrinks the partial table
+        # and the routing fan-out by n_salts while keeping the same
+        # skew spreading across the stream.
+        salt_b = int(ids[0]) % n_salts if rows_in else 0
         src_dict = pc.dictionary_encode(batch["source"].combine_chunks())
         src_code = src_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         src_vocab = src_dict.dictionary
@@ -213,8 +219,8 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
         tr = _row_token_sums(batch, cfg.tokens_col, rows_in) if token_stats else None
         if late_n:
             kept = np.flatnonzero(row_keep)
-            ts_s, salt, src_code, x, k_last = (
-                ts_s[kept], salt[kept], src_code[kept], x[kept], k_last[kept]
+            ts_s, src_code, x, k_last = (
+                ts_s[kept], src_code[kept], x[kept], k_last[kept]
             )
             w = w[kept] if w is not None else None
             if tr is not None:
@@ -226,7 +232,7 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
         if hop_s is None:
             ws = k_last * size_s
             row_of = None  # group rows == kept rows
-            g_src, g_salt, g_x, g_w = src_code, salt, x, w
+            g_src, g_x, g_w = src_code, x, w
         else:
             # expand each row to its open covering windows
             k_min = (ts_s - size_s) // hop_s + 1
@@ -239,21 +245,20 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
             win_open = (ws + size_s) > watermark_s  # earlier windows may be closed
             if not win_open.all():
                 row_of, ws = row_of[win_open], ws[win_open]
-            g_src, g_salt = src_code[row_of], salt[row_of]
+            g_src = src_code[row_of]
             g_x = np.take(x, row_of)
             g_w = np.take(w, row_of) if w is not None else None
         m = ws.size
 
-        # -- factorize (src, salt, ws) via dense composite key ------------
+        # -- factorize (src, ws) via dense composite key (salt is batch-
+        # constant, so it is not part of the group key) --------------------
         ws_min = int(ws.min())
         win_idx = (ws - ws_min) // step
         n_win = int(win_idx.max()) + 1
         n_src = len(src_vocab)
-        D = n_src * n_salts * n_win
+        D = n_src * n_win
         dense = buf("dense", m, np.int64)
-        np.multiply(g_src, n_salts, out=dense)
-        np.add(dense, g_salt, out=dense)
-        np.multiply(dense, n_win, out=dense)
+        np.multiply(g_src, n_win, out=dense)
         np.add(dense, win_idx, out=dense)
         if D <= max(4 * m, 1 << 16):
             gidx, gdom = dense, D  # bincount straight over the dense key
@@ -303,12 +308,11 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
                 sums[c] = gsum(v)
 
         # decode keys from the composite integer
-        u_src, rem = np.divmod(kd, n_salts * n_win)
-        u_salt, u_win = np.divmod(rem, n_win)
+        u_src, u_win = np.divmod(kd, n_win)
         part = pa.table(
             {
                 "source": src_vocab.take(pa.array(u_src, pa.int64())),
-                "salt": pa.array(u_salt),
+                "salt": pa.array(np.full(u_src.size, salt_b, dtype=np.int64)),
                 "window_start": pa.array(ws_min + u_win * step),
                 **{c: pa.array(sums[c]) for c in needed},
             }
@@ -600,7 +604,13 @@ class StreamDriver:
             # partials.  On any task failure the whole epoch fails and is
             # replayed from the last checkpoint (restore() resets actor
             # state), preserving exactly-once.
-            kwargs = {"batch_format": "pyarrow", "max_retries": 0}
+            # zero_copy_batch: the router never mutates its input batch,
+            # so Ray must not copy 10MB of token buffers per batch
+            kwargs = {
+                "batch_format": "pyarrow",
+                "max_retries": 0,
+                "zero_copy_batch": True,
+            }
             if self.cfg.batch_size:
                 kwargs["batch_size"] = self.cfg.batch_size
             book = ds.map_batches(router, **kwargs)
@@ -611,6 +621,9 @@ class StreamDriver:
                 em["late_dropped"] = int(stats["late_dropped"].sum())
                 em["partial_rows"] = int(stats["partial_rows"].sum())
                 em["max_ts_us"] = int(stats["max_ts_us"].max())
+                em["sec_fn_sum"] = round(float(stats["sec_fn"].sum()), 3)
+                em["sec_route_sum"] = round(float(stats["sec_route"].sum()), 3)
+                em["n_batches"] = int(len(stats))
                 self._ingest_expected += int(stats["ingest_calls"].sum())
             self._ingest_barrier()
             t_barrier = _time.monotonic() - t0 - t_pipe

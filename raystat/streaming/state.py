@@ -216,23 +216,44 @@ class Router:
         self.actors = actors
         self.P = n_partitions
         self.partial_fn = partial_fn
+        self._crc: dict[str, int] = {}  # per-worker source-hash cache
+
+    def _hash_sources(self, srcs: list) -> np.ndarray:
+        cache = self._crc
+        h = np.empty(len(srcs), dtype=np.int64)
+        for i, s in enumerate(srcs):
+            v = cache.get(s)
+            if v is None:
+                v = cache[s] = zlib.crc32(s.encode())
+            h[i] = v
+        return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        t0 = _time.monotonic()
         partial, info = self.partial_fn(batch)
+        sec_fn = _time.monotonic() - t0
         max_ts = info["max_ts_us"]
         late = info["late_dropped"]
         rows_in = info["rows_in"]
         calls = 0
         if partial.num_rows:
-            part = route_partition(
-                np.asarray(partial["source"].to_pylist()),
-                partial["salt"].to_numpy(zero_copy_only=False),
-                self.P,
-            )
-            for p in np.unique(part):
-                sub = partial.filter(pa.array(part == p))
-                self.actors[int(p)].ingest.remote(sub)
+            h = self._hash_sources(partial["source"].to_pylist())
+            salt = partial["salt"].to_numpy(zero_copy_only=False)
+            part = (h * 31 + salt.astype(np.int64)) % self.P
+            # ONE take into partition order, then zero-copy slices per
+            # partition (vs one filter pass per partition)
+            order = np.argsort(part, kind="stable")
+            tbl = partial.take(pa.array(order))
+            sp = part[order]
+            bounds = np.flatnonzero(np.diff(sp)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [sp.size]))
+            for s, e in zip(starts, ends):
+                self.actors[int(sp[s])].ingest.remote(tbl.slice(int(s), int(e - s)))
                 calls += 1
+        sec_route = _time.monotonic() - t0 - sec_fn
         return pa.table(
             {
                 "max_ts_us": pa.array([max_ts], pa.int64()),
@@ -240,6 +261,8 @@ class Router:
                 "rows_in": pa.array([rows_in], pa.int64()),
                 "partial_rows": pa.array([partial.num_rows], pa.int64()),
                 "ingest_calls": pa.array([calls], pa.int64()),
+                "sec_fn": pa.array([sec_fn], pa.float64()),
+                "sec_route": pa.array([sec_route], pa.float64()),
             }
         )
 
@@ -419,7 +442,11 @@ class SessionRouter:
         self.partial_fn = partial_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        t0 = _time.monotonic()
         partial, info = self.partial_fn(batch)
+        sec_fn = _time.monotonic() - t0
         calls = 0
         if partial.num_rows:
             src = np.asarray(partial["source"].to_pylist())
@@ -428,6 +455,7 @@ class SessionRouter:
                 sub = partial.filter(pa.array(part == p))
                 self.actors[int(p)].ingest.remote(sub)
                 calls += 1
+        sec_route = _time.monotonic() - t0 - sec_fn
         return pa.table(
             {
                 "max_ts_us": pa.array([info["max_ts_us"]], pa.int64()),
@@ -435,5 +463,7 @@ class SessionRouter:
                 "rows_in": pa.array([info["rows_in"]], pa.int64()),
                 "partial_rows": pa.array([partial.num_rows], pa.int64()),
                 "ingest_calls": pa.array([calls], pa.int64()),
+                "sec_fn": pa.array([sec_fn], pa.float64()),
+                "sec_route": pa.array([sec_route], pa.float64()),
             }
         )
