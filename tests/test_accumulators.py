@@ -193,6 +193,25 @@ def _centered_var(v, w=None):
     return float((w * (v - mu) ** 2).sum() / w.sum())
 
 
+def _cond(v, w=None):
+    """Conditioning of the raw power-sum formulation: E[x^2]/var.
+    The m4-from-power-sums error amplifies ~cond^2 (m3 ~ cond^1.5), so
+    at float64 a comparison at rel 1e-6 is only meaningful when
+    cond^2 * 1e-16 << 1e-6 — e.g. v=[98, 99] has cond ~ 4e4 and the
+    (reference-faithful) naive formulation legitimately diverges from
+    the centered oracle at the 1e-6 level."""
+    v = np.asarray(v, float)
+    if v.size == 0:
+        return np.inf
+    if w is None:
+        w = np.ones_like(v)
+    w = np.asarray(w, float)
+    var = _centered_var(v, w)
+    if var == 0.0 or w.sum() == 0:
+        return np.inf
+    return float((w * v * v).sum() / w.sum() / var)
+
+
 @settings(max_examples=60, deadline=None)
 @given(v=vals, seed=st.integers(0, 2**31), n_chunks=st.integers(1, 7))
 def test_property_unweighted(v, seed, n_chunks):
@@ -200,7 +219,7 @@ def test_property_unweighted(v, seed, n_chunks):
     # variance: the reference's naive power-sum formulation (which we
     # replicate literally) is itself unstable when var ≈ 0, so the
     # centered oracle legitimately diverges there.
-    stable = _centered_var(v) > 1e-2
+    stable = _centered_var(v) > 1e-2 and _cond(v) < 3e3
     for name in ("skewness", "skewness_sample", "kurtosis", "kurtosis_sample"):
         expected = oracles.evaluate(name, v)
         got = run_spec(name, v, n_chunks=min(n_chunks, max(1, len(v))))
@@ -215,7 +234,7 @@ def test_property_unweighted(v, seed, n_chunks):
 def test_property_weighted(v, seed, n_chunks):
     rng = np.random.default_rng(seed)
     w = rng.uniform(0.0, 10.0, size=len(v))
-    stable = _centered_var(v, w) > 1e-2
+    stable = _centered_var(v, w) > 1e-2 and _cond(v, w) < 3e3
     for name in ("weighted_average", "stddev_weighted", "skewness_weighted", "kurtosis_weighted"):
         expected = oracles.evaluate(name, v, w)
         got = run_spec(name, v, w, n_chunks=min(n_chunks, max(1, len(v))))
