@@ -526,3 +526,56 @@ def test_high_cardinality_sources(ray_session, tmp_path):
     assert len(got) == len(exp)
     for c in ["wavg", "wstd", "skew", "kurt"]:
         np.testing.assert_allclose(got[c], exp[c], rtol=1e-9, atol=1e-12)
+
+
+def test_cli_end_to_end(ray_session, fixture_dir, tmp_path, capsys):
+    """python -m raystat surface: the ray-job-submit entrypoint runs
+    the driver and prints the metrics JSON."""
+    from raystat.cli import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(
+        ["--input", fixture_dir, "--out", out, "--window", str(WINDOW_S),
+         "--lateness", str(LATENESS_S), "--partitions", "4", "--salts", "2"]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    m = json.loads(printed.strip().splitlines()[-1])
+    assert m["committed"], "no epochs committed"
+    assert glob.glob(os.path.join(out, "agg", "epoch=*", "*.parquet"))
+
+
+def test_ingest_error_surfaces_at_barrier(ray_session):
+    """A failed fire-and-forget ingest must raise from the barrier
+    probe (ingest_count), not surface as a 600s timeout."""
+    import ray
+
+    from raystat.streaming.state import StatePartition
+
+    a = StatePartition.remote(0, ["u_n", "u_s1"], 3600)
+    bad = pa.table({"wrong": pa.array([1])})  # missing key/sum columns
+    a.ingest.remote(bad)
+    ok = pa.table(
+        {
+            "source": pa.array(["s"]),
+            "salt": pa.array([0], pa.int64()),
+            "window_start": pa.array([0], pa.int64()),
+            "u_n": pa.array([1.0]),
+            "u_s1": pa.array([2.0]),
+        }
+    )
+    a.ingest.remote(ok)
+    import time as _t
+
+    deadline = _t.monotonic() + 30
+    raised = False
+    while _t.monotonic() < deadline:
+        try:
+            # consolidation happens here; the bad table fails the merge
+            ray.get(a.get_state_size.remote())
+            ray.get(a.ingest_count.remote())
+        except Exception:
+            raised = True
+            break
+        _t.sleep(0.1)
+    assert raised, "ingest error never surfaced via the barrier probe"
