@@ -86,6 +86,17 @@ class StreamConfig:
     #   (value = every token id in `tokens`); all window modes
     tokens_col: str = "tokens"
 
+    def __post_init__(self) -> None:
+        # ksqlDB HOPPING requires advance <= size; the row-level late
+        # predicate (k_last*step + size > watermark) also assumes every
+        # hop-aligned window actually covers its row, which only holds
+        # when hop_s <= window_size_s.
+        if self.hop_s is not None and self.hop_s > self.window_size_s:
+            raise ValueError(
+                f"hop_s ({self.hop_s}) must be <= window_size_s "
+                f"({self.window_size_s}) — ksqlDB hopping semantics"
+            )
+
 
 def _row_token_sums(batch: pa.Table, tokens_col: str, rows_in: int) -> dict[str, np.ndarray]:
     """Per-ROW token power sums (t_n, t_s1..t_s4) over the original
@@ -122,16 +133,22 @@ def _row_token_sums(batch: pa.Table, tokens_col: str, rows_in: int) -> dict[str,
     has_empty = bool(empty.any())
     if has_empty:
         # reduceat misbehaves on zero-length segments (returns the
-        # element at the start index); clamp then zero them out
-        idx = np.minimum(idx, max(nt - 1, 0))
+        # element at the start index — and a TRAILING empty segment's
+        # clamped start index would truncate the preceding non-empty
+        # segment).  Since empty segments have zero width, the starts
+        # of the NON-empty segments alone still delimit every real
+        # segment exactly: reduceat over those, scatter back by row.
+        nonempty = ~empty
+        idx_ne = idx[nonempty]
 
     def seg_sum(arr: np.ndarray) -> np.ndarray:
         if nt == 0:
             return np.zeros(rows_in, dtype=np.float64)
-        s = np.add.reduceat(arr, idx)
         if has_empty:
-            s[empty] = 0.0
-        return s
+            s = np.zeros(rows_in, dtype=np.float64)
+            s[nonempty] = np.add.reduceat(arr, idx_ne)
+            return s
+        return np.add.reduceat(arr, idx)
 
     tr: dict[str, np.ndarray] = {
         "t_n": counts.astype(np.float64),

@@ -20,8 +20,16 @@ def con():
 
 
 def _key_cols(df: pd.DataFrame) -> list[str]:
+    """Sort keys: object/window columns, then integer columns as exact
+    tie-breakers (block arrival order is nondeterministic, and sorting
+    by a non-unique key alone leaves tie order unstable).  Float
+    columns stay out — fp noise between Ray and DuckDB could reorder."""
     pref = [c for c in df.columns if df[c].dtype == object or "window" in c or "session" in c]
-    return pref or list(df.columns)
+    ints = [
+        c for c in df.columns
+        if c not in pref and np.issubdtype(df[c].dtype, np.integer)
+    ]
+    return (pref + ints) or list(df.columns)
 
 
 def _pairs():

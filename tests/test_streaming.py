@@ -391,6 +391,99 @@ def test_streaming_token_stats_session_matches_replay(ray_session, fixture_dir):
         assert r["tok_mean"] == pytest.approx(exp[key], rel=1e-9)
 
 
+def test_hop_larger_than_window_rejected():
+    """ksqlDB hopping requires advance <= size; the late predicate
+    assumes it, so StreamConfig must enforce it."""
+    with pytest.raises(ValueError, match="hop_s"):
+        StreamConfig(window_size_s=100, hop_s=200)
+    StreamConfig(window_size_s=100, hop_s=100)  # boundary OK
+
+
+def test_row_token_sums_empty_lists():
+    """Regression: a batch whose LAST row(s) have empty token lists used
+    to truncate the preceding non-empty row's reduceat segment (its
+    final token silently dropped from t_s1..t_s4)."""
+    from raystat.streaming.driver import _row_token_sums
+
+    cases = [
+        [[1, 2, 3], [4, 5], []],          # the reported repro
+        [[], [1, 2], [], [3], []],
+        [[], [], []],
+        [[7]],
+        [[1, 2], [], [], [3, 4, 5], [], []],
+    ]
+    for lists in cases:
+        t = pa.table({"tokens": pa.array(lists, type=pa.list_(pa.int32()))})
+        for tab in (t, t.slice(1)):  # also exercise non-zero offsets
+            ls = lists if tab is t else lists[1:]
+            r = _row_token_sums(tab, "tokens", tab.num_rows)
+            for p in range(1, 5):
+                exp = [float(sum(x**p for x in l)) for l in ls]
+                assert r[f"t_s{p}"].tolist() == exp, (ls, p, r[f"t_s{p}"])
+            assert r["t_n"].tolist() == [float(len(l)) for l in ls]
+
+
+def test_streaming_token_stats_with_empty_token_docs(ray_session, tmp_path):
+    """End-to-end token_stats with planted empty-token docs (including
+    at the END of the input, where the reduceat bug hid): per-window
+    tok_* must match a pandas replay."""
+    rng = np.random.default_rng(31)
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    doc_id = np.char.add("doc-", np.char.zfill(ids.astype(str), 12))
+    src = np.char.add("s", (ids % 5).astype(str))
+    n_tok = rng.integers(1, 40, size=n).astype(np.int32)
+    n_tok[rng.random(n) < 0.15] = 0  # plant empty docs
+    n_tok[-7:] = 0                   # ...including trailing ones
+    flat = rng.integers(1, 100, size=int(n_tok.sum()), dtype=np.int32)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offs[1:])
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(flat)),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    from raystat.extract import T0_US
+
+    ev = event_time_us_from_numeric(numeric_doc_id(t["doc_id"]))
+    epoch = (ev - T0_US) // epoch_len_us(2)
+    fix = str(tmp_path / "empty_fix")
+    for e in np.unique(epoch):
+        d = os.path.join(fix, f"arrival={int(e)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t.filter(pa.array(epoch == e)), os.path.join(d, "p.parquet"))
+
+    out = str(tmp_path / "empty_out")
+    cfg = StreamConfig(
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=10 * LATENESS_S,
+        n_partitions=4,
+        n_salts=2,
+        token_stats=True,
+    )
+    drv = StreamDriver(fix, out, cfg)
+    drv.run()
+    res = drv.result_table().to_pandas()
+
+    df = t.to_pandas()
+    df["ts_s"] = (ev // 1_000_000).to_numpy() if hasattr(ev, "to_numpy") else np.asarray(ev) // 1_000_000
+    df["ws"] = (df["ts_s"] // WINDOW_S) * WINDOW_S
+    for _, r in res.iterrows():
+        g = df[(df["source"] == r["source"]) & (df["ws"] == r["window_start"])]
+        toks = (
+            np.concatenate([np.asarray(x) for x in g["tokens"]]).astype(float)
+            if len(g)
+            else np.array([])
+        )
+        assert r["n_rows"] == len(g)
+        if len(toks):
+            assert r["tok_mean"] == pytest.approx(toks.mean(), rel=1e-9)
+            assert r["tok_std"] == pytest.approx(toks.std(), rel=1e-6)
+
+
 def test_session_resume_equals_uninterrupted(ray_session, fixture_dir):
     """Session-mode crash/resume: restore() must not inflate the ingest
     barrier counters (regression: restore used to route through
