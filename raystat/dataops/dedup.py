@@ -26,6 +26,7 @@ import pyarrow as pa
 __all__ = [
     "add_content_hash",
     "exact_dedup",
+    "exact_dup_pairs",
     "minhash_signatures_batch",
     "minhash_lsh_pairs",
     "simhash_batch",
@@ -189,35 +190,48 @@ def _band_rows(ids: np.ndarray, sig: np.ndarray) -> pa.Table:
     )
 
 
-def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.8):
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    bucket_cap: int = 512,
+    metrics: dict | None = None,
+):
     """Near-duplicate pairs by MinHash-LSH, verified with exact
     shingle Jaccard >= threshold.  Returns a pandas DataFrame
     (doc_a, doc_b, jaccard), doc_a < doc_b.
 
-    Scale shape (three streaming passes, no text in any shuffle):
-    1. band rows (band_id, band_hash, doc_id) -> bucket groupby ->
-       candidate id pairs (tiny: true near-dups + band collisions).
-    2. signatures of candidate docs only (broadcast sorted id filter
-       via ray.put; 64 int64 per doc) -> driver; estimated Jaccard =
-       fraction of agreeing signature rows, one vectorized matrix
-       compare for ALL pairs at once.  Pairs estimated clearly below
-       threshold (margin 2 sigma of the 64-perm estimator) are
-       rejected without ever touching text.
-    3. texts of the surviving near-positive docs only -> exact shingle
-       Jaccard (output is exact, estimate only prunes).
-    Assumes candidates << corpus — the standard LSH regime."""
-    import ray
+    Recall is the LSH banding recall (16 bands x 4 rows; a true pair
+    is a candidate iff it collides in >=1 band) — every candidate's
+    jaccard VALUE is exact.  Degenerate hot buckets are sub-split at
+    ``bucket_cap`` (pairs.capped_bucket_pairs), which additionally
+    bounds recall inside a single oversized bucket; overflow counts
+    land in ``metrics``.
+
+    Scale shape (two streaming passes, no text in any shuffle, no
+    payloads on the driver):
+    1. band rows (band_id, band_hash, doc_id) -> bucket groupby with
+       cap -> candidate id pairs (tiny: true near-dups + band
+       collisions; only 16-B id pairs reach the driver — the same
+       magnitude as this function's own return value).
+    2. distributed verify (pairs.verify_pairs_distributed): pairs are
+       hash-partitioned; one streaming pass shingles ONLY the
+       referenced docs and routes each shingle array to the partitions
+       whose pairs need it; exact Jaccard runs inside the partition
+       groups."""
+    from raystat.dataops.pairs import (
+        capped_bucket_pairs,
+        pop_overflow,
+        verify_pairs_distributed,
+    )
 
     def bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return _band_rows(ids, minhash_signatures_batch(batch, text_col))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        return capped_bucket_pairs(g["doc_id"].to_numpy(), bucket_cap)
 
     cand = (
         ds.map_batches(bands, batch_format="pyarrow")
@@ -225,7 +239,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", thresh
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
-    cand = cand.drop_duplicates(ignore_index=True)
+    cand = pop_overflow(cand, metrics).drop_duplicates(ignore_index=True)
     empty = pd.DataFrame(
         {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64),
          "jaccard": pd.Series(dtype=np.float64)}
@@ -233,62 +247,73 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", thresh
     if not len(cand):
         return empty
 
-    def _fetch_for(ids_sorted: np.ndarray, emit):
-        """Streaming pass emitting `emit(sub_batch)` for rows whose id
-        is in the broadcast sorted id set."""
-        ref = ray.put(ids_sorted)
+    def payload_of(batch: pa.Table, rows: np.ndarray) -> list:
+        texts = batch[text_col].take(pa.array(rows)).to_pylist()
+        return [
+            np.array(sorted(shingle_set(t)), dtype=np.int64) for t in texts
+        ]
 
-        def fetch(batch: pa.Table) -> pa.Table:
-            want = ray.get(ref)
-            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(want, ids)
-            pos[pos == want.size] = 0
-            sub = batch.filter(pa.array(want[pos] == ids))
-            return emit(sub)
-
-        return ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
-
-    need = np.unique(
-        np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()])
-    ).astype(np.int64)
-
-    def emit_sigs(sub: pa.Table) -> pa.Table:
-        sig = minhash_signatures_batch(sub, text_col)
-        return pa.table(
-            {
-                "doc_id": sub[id_col],
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sig.reshape(-1)), _N_PERM
-                ),
-            }
+    def verify(prs: pd.DataFrame, lookup: dict) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for a_, b_ in zip(prs["doc_a"], prs["doc_b"]):
+            sa, sb = lookup[int(a_)], lookup[int(b_)]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                out_a.append(int(a_))
+                out_b.append(int(b_))
+                out_j.append(j)
+        return pd.DataFrame(
+            {"doc_a": np.array(out_a, dtype=np.int64),
+             "doc_b": np.array(out_b, dtype=np.int64),
+             "jaccard": np.array(out_j, dtype=np.float64)}
         )
 
-    sigs = _fetch_for(need, emit_sigs)
-    S = np.stack([np.asarray(s, dtype=np.int64) for s in sigs["sig"]])
-    row_of = {int(d): i for i, d in enumerate(sigs["doc_id"])}
-    ia = np.fromiter((row_of[int(d)] for d in cand["doc_a"]), dtype=np.int64)
-    ib = np.fromiter((row_of[int(d)] for d in cand["doc_b"]), dtype=np.int64)
-    est = (S[ia] == S[ib]).mean(axis=1)
-    # 2-sigma margin of the 64-permutation estimator at the threshold
-    margin = 2.0 * float(np.sqrt(threshold * (1 - threshold) / _N_PERM))
-    cand = cand[est >= threshold - margin].reset_index(drop=True)
-    if not len(cand):
-        return empty
+    out = verify_pairs_distributed(
+        ds, cand, id_col, payload_of, verify,
+        payload_type=pa.list_(pa.int64()),
+        out_schema={"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64},
+    )
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
-    exact_ids = np.unique(
-        np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()])
-    ).astype(np.int64)
-    docs = _fetch_for(
-        exact_ids,
-        lambda sub: pa.table({"doc_id": sub[id_col], "text": sub[text_col]}),
+
+def exact_dup_pairs(
+    ds, text_col: str = "text", id_col: str = "doc_id", bucket_cap: int = 4096
+) -> pd.DataFrame:
+    """All (a < b) pairs of EXACTLY identical texts — the containment
+    ground truth for the LSH paths (every exact-dup pair must appear in
+    minhash/simhash output; its SQL twin is a self-join on text).
+    Shuffles (content_hash, id) only; per-hash groups pair in the
+    workers (capped like any LSH bucket)."""
+    from raystat.dataops.pairs import capped_bucket_pairs, pop_overflow
+
+    def hash_id(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"content_hash": pa.array(_md5_64(batch[text_col].to_pylist())),
+             "doc_id": pa.array(ids)}
+        )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return capped_bucket_pairs(g["doc_id"].to_numpy(), bucket_cap)
+
+    out = (
+        ds.map_batches(hash_id, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(group_pairs, batch_format="pandas")
+        .to_pandas()
     )
-    sh = {int(r.doc_id): shingle_set(r.text) for r in docs.itertuples()}
-    jac = np.array(
-        [jaccard(sh[int(a)], sh[int(b)]) for a, b in zip(cand["doc_a"], cand["doc_b"])]
+    if not len(out):
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)}
+        )
+    out = pop_overflow(out, None)
+    return (
+        out.drop_duplicates(ignore_index=True)
+        .astype({"doc_a": np.int64, "doc_b": np.int64})
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
     )
-    cand["jaccard"] = jac
-    out = cand[jac >= threshold].reset_index(drop=True)
-    return out.astype({"doc_a": np.int64, "doc_b": np.int64})
 
 
 # -- simhash ---------------------------------------------------------------
@@ -316,9 +341,21 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     return pa.table({"doc_id": pa.array(ids), "simhash": pa.array(sims.astype(np.int64))})
 
 
-def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+def simhash_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 512,
+    metrics: dict | None = None,
+):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, candidates
-    via 4x16-bit band collisions (guaranteed to catch distance <= 3)."""
+    via 4x16-bit band collisions (guaranteed to catch distance <= 3
+    when no bucket overflows; oversized buckets sub-split at
+    ``bucket_cap`` — overflow counts land in ``metrics``).  Hamming
+    verify runs INSIDE the bucket map_groups — only verified pairs
+    leave the workers."""
+    from raystat.dataops.pairs import OVERFLOW_SENTINEL, pop_overflow, splitmix64
 
     def sh(batch: pa.Table) -> pa.Table:
         return simhash_batch(batch, text_col, id_col)
@@ -340,12 +377,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
             )
         return pa.concat_tables(parts)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        s = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+    def _ham_pairs(ids: np.ndarray, s: np.ndarray) -> tuple:
         a, b = np.triu_indices(len(ids), k=1)
         x = s[a] ^ s[b]
         ham = np.zeros(len(x), dtype=np.int64)
@@ -353,7 +385,44 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
             ham += (x & np.uint64(1)).astype(np.int64)
             x = x >> np.uint64(1)
         keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep]})
+        return ids[a][keep], ids[b][keep], ham[keep]
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        s = g["simhash"].to_numpy().astype(np.uint64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype=np.int64),
+                 "doc_b": pd.Series(dtype=np.int64),
+                 "hamming": pd.Series(dtype=np.int64)}
+            )
+        if n <= bucket_cap:
+            a, b, h = _ham_pairs(ids, s)
+            return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
+        # hot bucket: sub-split by a secondary id hash (bounds the
+        # O(n^2) pair-gen to ~n*cap/2); report via sentinel row
+        nsub = -(-n // bucket_cap)
+        sub = (splitmix64(ids.astype(np.uint64)) % np.uint64(nsub)).astype(np.int64)
+        out_a = [np.array([OVERFLOW_SENTINEL], dtype=np.int64)]
+        out_b = [np.array([n], dtype=np.int64)]
+        out_h = [np.array([-1], dtype=np.int64)]
+        order = np.argsort(sub, kind="stable")
+        sub_s, ids_s, s_s = sub[order], ids[order], s[order]
+        starts = np.nonzero(np.r_[True, sub_s[1:] != sub_s[:-1]])[0]
+        bounds = np.append(starts, n)
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi - lo >= 2:
+                a, b, h = _ham_pairs(ids_s[lo:hi], s_s[lo:hi])
+                out_a.append(a)
+                out_b.append(b)
+                out_h.append(h)
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_h)}
+        )
 
     out = (
         ds.map_batches(sh, batch_format="pyarrow")
@@ -362,9 +431,11 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
+    if not len(out):
+        return out
+    out = pop_overflow(out, metrics)
     return (
         out.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
         .astype({"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
-        if len(out)
-        else out
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
     )

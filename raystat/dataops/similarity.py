@@ -249,17 +249,29 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_exact: int = 200_000,
+    allow_approx: bool = False,
 ):
     """All pairs with cosine >= threshold (exact, brute force): the
     full normalized matrix is broadcast; each batch matmuls against
     it and emits only (a < b) passing pairs.  O(N^2) compute but only
     passing pairs leave the tasks — the exact path is explicitly
-    guarded to <= ``max_exact`` vectors; larger inputs route to
-    ``embedding_lsh_pairs`` (the scale path) automatically."""
+    guarded to <= ``max_exact`` vectors.  Larger inputs raise (with a
+    pointer to ``embedding_lsh_pairs``, the scale path) unless the
+    caller opts into the approximate fallback with
+    ``allow_approx=True`` — the exactness guarantee never changes
+    silently."""
     import ray
 
+    # one cheap metadata pass (count() on a pure read plan uses file
+    # metadata; the guard is required before materializing to_pandas)
     n_total = ds.count()
     if n_total > max_exact:
+        if not allow_approx:
+            raise ValueError(
+                f"embedding_dup_pairs is exact and guarded to {max_exact} "
+                f"vectors (got {n_total}); use embedding_lsh_pairs (the "
+                "approximate scale path) or pass allow_approx=True"
+            )
         out = embedding_lsh_pairs(
             ds, threshold=threshold, id_col=id_col, vec_col=vec_col
         )
@@ -302,11 +314,23 @@ def embedding_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 9,
+    bucket_cap: int = 512,
+    metrics: dict | None = None,
 ):
-    """Scale path: random-hyperplane LSH.  Signatures (n_tables x
-    n_planes bits) are the only shuffled payload; candidate buckets
-    verify exact cosine locally.  Recall is probabilistic (raise
-    n_tables for higher recall); exact dups (cos=1) always collide."""
+    """Scale path: random-hyperplane LSH.  (table_id, bucket, vec_id)
+    rows are the only bucketing shuffle payload (24 B per (vector,
+    table)); candidate pairs verify exact cosine in a co-partitioned
+    distributed pass (pairs.verify_pairs_distributed) — no vectors
+    ever stack on the driver.  Recall is probabilistic (raise
+    n_tables for higher recall); exact dups (cos=1) always collide.
+    Oversized buckets (e.g. many zero/identical vectors) sub-split at
+    ``bucket_cap``; overflow counts land in ``metrics``."""
+    from raystat.dataops.pairs import (
+        capped_bucket_pairs,
+        pop_overflow,
+        verify_pairs_distributed,
+    )
+
     rng = np.random.default_rng(seed)
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first[vec_col][0])
@@ -338,11 +362,7 @@ def embedding_lsh_pairs(
         return pa.concat_tables(parts)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": []})
-        ids = np.sort(g["vec_id"].to_numpy())
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"vec_a": ids[a], "vec_b": ids[b]})
+        return capped_bucket_pairs(g["vec_id"].to_numpy(), bucket_cap)
 
     cand = (
         ds.map_batches(sig, batch_format="pyarrow")
@@ -356,45 +376,37 @@ def embedding_lsh_pairs(
     )
     if not len(cand):
         return empty
-    cand = cand.drop_duplicates(ignore_index=True)
+    cand = pop_overflow(cand, metrics).drop_duplicates(ignore_index=True)
+    if not len(cand):
+        return empty
 
-    # exact-cosine verify: fetch ONLY the candidate vectors (one
-    # streaming pass, broadcast sorted id filter) — candidates << corpus
-    # in the LSH regime, so the driver-side verify matrix stays small
-    need = np.unique(
-        np.concatenate([cand["vec_a"].to_numpy(), cand["vec_b"].to_numpy()])
-    ).astype(np.int64)
-    nref = ray.put(need)
-
-    def fetch_vecs(batch: pa.Table) -> pa.Table:
-        want = ray.get(nref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(want, ids)
-        pos[pos == want.size] = 0
-        keep = want[pos] == ids
-        sub = batch.filter(pa.array(keep))
-        if not sub.num_rows:
-            return pa.table(
-                {"vec_id": pa.array([], pa.int64()),
-                 "vec": pa.array([], pa.list_(pa.float64()))}
-            )
+    # exact-cosine verify in a co-partitioned distributed pass: one
+    # streaming pass normalizes ONLY the referenced vectors and routes
+    # each to the partitions whose pairs need it — nothing but id
+    # pairs reaches the driver
+    def payload_of(batch: pa.Table, rows: np.ndarray) -> list:
+        sub = batch.take(pa.array(rows))
         Xs = _normalize(_stack(sub[vec_col]))
-        return pa.table(
-            {
-                "vec_id": sub[id_col],
-                "vec": pa.array(list(Xs), type=pa.list_(pa.float64())),
-            }
+        return list(Xs)
+
+    def verify(prs: pd.DataFrame, lookup: dict) -> pd.DataFrame:
+        ia = np.stack([lookup[int(a)] for a in prs["doc_a"]])
+        ib = np.stack([lookup[int(b)] for b in prs["doc_b"]])
+        cos = np.einsum("ij,ij->i", ia, ib)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"vec_a": prs["doc_a"].to_numpy()[keep].astype(np.int64),
+             "vec_b": prs["doc_b"].to_numpy()[keep].astype(np.int64),
+             "cos": cos[keep]}
         )
 
-    vecs = ds.map_batches(fetch_vecs, batch_format="pyarrow").to_pandas()
-    X = np.stack(vecs["vec"].to_numpy())
-    row_of = {int(d): i for i, d in enumerate(vecs["vec_id"])}
-    ia = np.fromiter((row_of[int(d)] for d in cand["vec_a"]), dtype=np.int64)
-    ib = np.fromiter((row_of[int(d)] for d in cand["vec_b"]), dtype=np.int64)
-    cos = np.einsum("ij,ij->i", X[ia], X[ib])
-    out = cand[cos >= threshold].reset_index(drop=True)
-    out["cos"] = cos[cos >= threshold]
-    return (
-        out.sort_values(["vec_a", "vec_b"], ignore_index=True)
-        .astype({"vec_a": np.int64, "vec_b": np.int64})
+    out = verify_pairs_distributed(
+        ds,
+        cand,  # capped_bucket_pairs emits doc_a/doc_b column names
+        id_col,
+        payload_of,
+        verify,
+        payload_type=pa.list_(pa.float64()),
+        out_schema={"vec_a": np.int64, "vec_b": np.int64, "cos": np.float64},
     )
+    return out.sort_values(["vec_a", "vec_b"], ignore_index=True)

@@ -389,6 +389,97 @@ def _streaming_session_lengths(sf_dir):
     return out
 
 
+def _streaming_joined_quality(sf_dir):
+    """The north-rule's stateful join, driver-verified end to end: the
+    metadata side stream carries quality = length(source)/8 (a
+    SQL-expressible function, so DuckDB can reproduce the joined
+    column), arriving spread over epochs 0-1 — windows that close
+    before their source's metadata arrives are buffered by the join
+    (grace) and emitted WITH quality once it lands.  Late-metadata
+    expiry/null semantics are pytest-verified (test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raystat.fixtures import epoch_len_us
+    from raystat.pipelines.tokens import documents_stream_fixture
+    from raystat.streaming import StreamConfig, StreamDriver
+
+    n_epochs = 4
+    fix = documents_stream_fixture(sf_dir, n_epochs=n_epochs)
+    srcs = sorted(
+        set(
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+            )["source"].to_pylist()
+        )
+    )
+    meta = pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "quality": pa.array([len(s) / 8.0 for s in srcs], pa.float64()),
+            "arrival_epoch": pa.array(
+                np.arange(len(srcs), dtype=np.int64) % 2
+            ),
+        }
+    )
+    cfg = StreamConfig(
+        specs={"wavg": "weighted_average"},
+        window_size_s=21600,
+        allowed_lateness_s=epoch_len_us(n_epochs) // 1_000_000,
+        n_partitions=8,
+        n_salts=4,
+        join_grace_epochs=n_epochs + 2,  # all metadata lands by epoch 1
+    )
+    out = tempfile.mkdtemp(prefix="raystat_stream_join_")
+    try:
+        drv = StreamDriver(fix, out, cfg, metadata=meta)
+        drv.run()
+        return drv.result_table().to_pandas()[
+            ["source", "window_start", "wavg", "quality"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _streaming_changes_final(sf_dir):
+    """EMIT CHANGES, driver-verified: with lateness larger than the
+    stream horizon no window ever closes during the run, so the LAST
+    epoch's changelog (non-destructive finalize of every live window)
+    is the complete aggregate — equal to the batch SQL twin."""
+    import shutil
+    import tempfile
+
+    from raystat.fixtures import epoch_len_us
+    from raystat.pipelines.tokens import documents_stream_fixture
+    from raystat.streaming import StreamConfig, StreamDriver
+
+    n_epochs = 4
+    fix = documents_stream_fixture(sf_dir, n_epochs=n_epochs)
+    cfg = StreamConfig(
+        specs={"wavg": "weighted_average", "wstd": "stddev_weighted"},
+        window_size_s=21600,
+        allowed_lateness_s=100 * (epoch_len_us(n_epochs) // 1_000_000),
+        n_partitions=8,
+        n_salts=4,
+        emit_changes=True,
+    )
+    out = tempfile.mkdtemp(prefix="raystat_stream_chg_")
+    try:
+        drv = StreamDriver(fix, out, cfg)
+        drv.run()
+        ch = drv.changes_sink.read_all().to_pandas()
+        last = ch[ch["epoch"] == ch["epoch"].max()]
+        return last[["source", "window_start", "wavg", "wstd"]].reset_index(
+            drop=True
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 V, W = "l_extendedprice", "l_quantity"
 
 QUERIES: list[QueryDef] = [
@@ -564,6 +655,22 @@ QUERIES: list[QueryDef] = [
                    {sql_wavg('n_tok', 'n_tok')} AS wavg
             FROM s GROUP BY source, sess""",
     ),
+    QueryDef(
+        "streaming_joined_quality",
+        _streaming_joined_quality,
+        f"""SELECT source, {TOK_WS_SQL} AS window_start,
+              {sql_wavg(N_TOK_SQL, N_TOK_SQL)} AS wavg,
+              length(source)/8.0 AS quality
+            FROM documents GROUP BY source, window_start""",
+    ),
+    QueryDef(
+        "streaming_changes_final",
+        _streaming_changes_final,
+        f"""SELECT source, {TOK_WS_SQL} AS window_start,
+              {sql_wavg(N_TOK_SQL, N_TOK_SQL)} AS wavg,
+              {sql_wstd(N_TOK_SQL, N_TOK_SQL)} AS wstd
+            FROM documents GROUP BY source, window_start""",
+    ),
 ]
 
 
@@ -607,15 +714,50 @@ def _q_dedup_exact(sf_dir):
 
 
 def _q_minhash_pairs(sf_dir):
+    """Full-pair oracle: DuckDB reproduces the EXACT word-shingle
+    Jaccard pair set (MINHASH_PAIRS_SQL).  Candidate recall through
+    the 16x4 bands is probabilistic in general (>=0.9998 at j=0.8)
+    but the pipeline is fully deterministic (fixed permutations), and
+    the verified pair set equals the SQL twin at both test sfs."""
     from raystat.dataops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.8)
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.8)[["doc_a", "doc_b"]]
 
 
 def _q_simhash_pairs(sf_dir):
     from raystat.dataops.dedup import simhash_pairs
 
     return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _containment(pairs_fn):
+    """Containment oracle materialized as equality: intersect the LSH
+    pair set with the exact-duplicate pair set (identical texts).  LSH
+    recall guarantees every exact-dup pair collides in every band, so
+    the intersection must EQUAL DuckDB's text self-join — a missing
+    exact pair turns into a row-count mismatch the driver catches."""
+
+    def fn(sf_dir):
+        from raystat.dataops.dedup import exact_dup_pairs
+
+        ds = _docs(sf_dir)
+        lsh = pairs_fn(ds)[["doc_a", "doc_b"]]
+        ex = exact_dup_pairs(ds)
+        return ex.merge(lsh, on=["doc_a", "doc_b"], how="inner")
+
+    return fn
+
+
+def _q_minhash_containment(sf_dir):
+    from raystat.dataops.dedup import minhash_lsh_pairs
+
+    return _containment(lambda ds: minhash_lsh_pairs(ds, threshold=0.8))(sf_dir)
+
+
+def _q_simhash_containment(sf_dir):
+    from raystat.dataops.dedup import simhash_pairs
+
+    return _containment(lambda ds: simhash_pairs(ds, max_hamming=3))(sf_dir)
 
 
 def _q_ann_topk(sf_dir):
@@ -661,6 +803,46 @@ def _q_ann_topk_ivf(sf_dir):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_ann_ivf_pruned(sf_dir):
+    """The IVF SCALE path as a correctness gate: nprobe=4 of 8
+    centroids — the search READS only the probed partitions (partition
+    pruning, the 100-TB shape) — with per-query recall vs the exact
+    full-probe twin computed Ray-side and gated at >= 0.45 (measured
+    min 0.5 on the gaussian driver embeddings at both sf0.001 and
+    sf0.01; everything is seeded and deterministic, so the boolean
+    gate is stable per sf and the driver's equality compare verifies
+    it)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raystat.dataops.similarity import ann_topk_ivf, ivf_index, train_centroids
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).slice(0, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qids = qt["vec_id"].to_numpy()
+    idx = tempfile.mkdtemp(prefix="raystat_ivf_")
+    try:
+        C = train_centroids(emb, n_centroids=8)
+        ivf_index(emb, idx, C)
+        exact = ann_topk_ivf(idx, C, Q, qids, k=10, nprobe=None)
+        pruned = ann_topk_ivf(idx, C, Q, qids, k=10, nprobe=4)
+        rows = []
+        for q in qids:
+            e = set(exact[exact["query_id"] == q]["neighbor_id"])
+            p = set(pruned[pruned["query_id"] == q]["neighbor_id"])
+            rows.append((int(q), len(e & p) / max(len(e), 1) >= 0.45))
+        return pd.DataFrame(rows, columns=["query_id", "recall_ok"])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_embedding_dups(sf_dir):
     from raystat.dataops.similarity import embedding_dup_pairs
 
@@ -670,22 +852,51 @@ def _q_embedding_dups(sf_dir):
 
 
 def _q_embedding_lsh(sf_dir):
+    """Shares the brute-force SQL twin: precision is exact by
+    construction (distributed cosine verify), so LSH output ⊆ brute
+    force always; equality additionally asserts full recall, which
+    holds on the driver tables (no borderline pairs — 8 tables x 16
+    planes at threshold 0.95)."""
     from raystat.dataops.similarity import embedding_lsh_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_lsh_pairs(emb, threshold=0.95)
+    return embedding_lsh_pairs(emb, threshold=0.95)[["vec_a", "vec_b"]]
 
 
 def _q_image_features(sf_dir):
+    """Actor-pool decode + features; the registered output is the
+    SQL-constant subset (every synthetic payload decodes to 32x24) —
+    the full feature vector is pytest-verified against planted
+    pixels (tests/test_dataops.py)."""
     from raystat.dataops.multimodal import image_features
 
-    return image_features(_docs(sf_dir))
+    return image_features(_docs(sf_dir)).select_columns(
+        ["doc_id", "decoded", "width", "height"]
+    )
 
 
 def _q_audio_features(sf_dir):
+    """Actor-pool WAV decode + features; registered output is the
+    SQL-constant subset (8 kHz, 0.25 s synthetic clips, all decode) —
+    spectral features are pytest-verified against planted tones."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from raystat.dataops.multimodal import audio_features
 
-    return audio_features(_docs(sf_dir))
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "decoded": batch["decoded"],
+                "sample_rate": batch["sample_rate"],
+                "duration": pc.list_element(batch["features"], 0),
+            }
+        )
+
+    return audio_features(_docs(sf_dir)).map_batches(
+        project, batch_format="pyarrow"
+    )
 
 
 def _q_image_resize(sf_dir):
@@ -804,8 +1015,47 @@ QUERIES.extend(
             _q_dedup_exact,
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         ),
-        QueryDef("minhash_dedup_pairs", _q_minhash_pairs, None),
+        QueryDef(
+            "minhash_dedup_pairs",
+            _q_minhash_pairs,
+            # the exact shingle-Jaccard pair set, entirely in SQL: 3-word
+            # shingles (same shingling as dedup.shingle_set, strings
+            # instead of crc32 hashes), pairwise set Jaccard >= 0.8
+            """WITH w AS (
+                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                 FROM documents
+               ), sh AS (
+                 SELECT doc_id,
+                   CASE WHEN len(ws) = 0 OR trim(array_to_string(ws,' ')) = '' THEN []
+                        WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(ws)-1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                   END AS s
+                 FROM w
+               )
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE (CASE WHEN len(a.s)=0 AND len(b.s)=0 THEN 1.0
+                           WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+                           ELSE len(list_intersect(a.s, b.s))::double
+                                / len(list_distinct(a.s || b.s))
+                      END) >= 0.8""",
+        ),
         QueryDef("simhash_dedup_pairs", _q_simhash_pairs, None),
+        QueryDef(
+            "minhash_dup_containment",
+            _q_minhash_containment,
+            """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM documents a JOIN documents b
+                 ON a.text = b.text AND a.doc_id < b.doc_id""",
+        ),
+        QueryDef(
+            "simhash_dup_containment",
+            _q_simhash_containment,
+            """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM documents a JOIN documents b
+                 ON a.text = b.text AND a.doc_id < b.doc_id""",
+        ),
         QueryDef(
             "ann_topk_embeddings",
             _q_ann_topk,
@@ -838,9 +1088,33 @@ QUERIES.extend(
                WHERE list_cosine_similarity(cast(a.embedding as double[]),
                                             cast(b.embedding as double[])) >= 0.95""",
         ),
-        QueryDef("embedding_lsh_pairs", _q_embedding_lsh, None),
-        QueryDef("image_features_documents", _q_image_features, None),
-        QueryDef("audio_features_documents", _q_audio_features, None),
+        QueryDef(
+            "embedding_lsh_pairs",
+            _q_embedding_lsh,
+            """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(cast(a.embedding as double[]),
+                                            cast(b.embedding as double[])) >= 0.95""",
+        ),
+        QueryDef(
+            "ann_topk_ivf_pruned_recall",
+            _q_ann_ivf_pruned,
+            "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5",
+        ),
+        QueryDef(
+            "image_features_documents",
+            _q_image_features,
+            # every synthetic payload really decodes (PNG/BMP/PPM) to 32x24
+            """SELECT doc_id, true AS decoded, cast(32 as bigint) AS width,
+                      cast(24 as bigint) AS height FROM documents""",
+        ),
+        QueryDef(
+            "audio_features_documents",
+            _q_audio_features,
+            # every synthetic clip is 8 kHz PCM16, 0.25 s, and decodes
+            """SELECT doc_id, true AS decoded, cast(8000 as bigint) AS sample_rate,
+                      cast(0.25 as double) AS duration FROM documents""",
+        ),
         QueryDef(
             "image_resize_documents",
             _q_image_resize,

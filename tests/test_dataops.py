@@ -304,8 +304,8 @@ def test_frame_sample_stage():
 
 
 def test_minhash_lsh_larger_fixture(ray_session):
-    """10x fixture: planted dup recovery with the distributed
-    (signature-pruned) verify path."""
+    """10x fixture: planted dup recovery through the co-partitioned
+    distributed verify path."""
     import ray.data as rd
 
     rng = np.random.default_rng(17)
@@ -336,6 +336,113 @@ def test_minhash_lsh_larger_fixture(ray_session):
     j = pairs.set_index(["doc_a", "doc_b"])["jaccard"]
     for p in planted:
         assert j.loc[p] == 1.0  # output jaccard is exact, not estimated
+
+
+def test_exact_dup_pairs(docs_ds):
+    from raystat.dataops.dedup import exact_dup_pairs
+
+    out = exact_dup_pairs(docs_ds)
+    got = {(int(a), int(b)) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert got == {(0, 35), (1, 36)}
+
+
+def _hot_bucket_docs(ray_session, n_hot=1000):
+    """Adversarial fixture: the 400-doc corpus plus one degenerate
+    cluster of identical EMPTY texts (all land in one LSH bucket in
+    every band)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    texts, ids = [], []
+    for i in range(400):
+        base = BASE_TEXTS[i % len(BASE_TEXTS)].split()
+        extra = [f"w{rng.integers(0, 5000)}" for _ in range(8)]
+        texts.append(" ".join(base + extra))
+        ids.append(i)
+    planted = [(0, 390), (1, 391)]
+    for a, b in planted:
+        texts[b] = texts[a]
+    for i in range(n_hot):
+        texts.append("")
+        ids.append(1000 + i)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["s"] * len(ids), pa.string()),
+        }
+    )
+    return rd.from_arrow(t).repartition(8), planted
+
+
+def test_minhash_hot_bucket_bounded(ray_session):
+    """One adversarial hot bucket (1k identical empty docs) must not
+    explode pair generation quadratically: the cap sub-splits it,
+    reports overflow, and the planted real dups still come out with
+    exact jaccard."""
+    from raystat.dataops.dedup import minhash_lsh_pairs
+
+    ds, planted = _hot_bucket_docs(ray_session)
+    cap = 64
+    metrics: dict = {}
+    pairs = minhash_lsh_pairs(ds, threshold=0.8, bucket_cap=cap, metrics=metrics)
+    assert metrics["overflow_buckets"] > 0
+    assert metrics["max_bucket_size"] >= 1000
+    got = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    for p in planted:
+        assert p in got, (p, len(got))
+    hot = pairs[pairs["doc_a"] >= 1000]
+    # sub-splitting bounds the degenerate cluster's pairs to ~n*cap/2
+    assert 0 < len(hot) <= 1000 * cap
+    assert (hot["jaccard"] == 1.0).all()  # empty==empty exactly
+
+
+def test_simhash_hot_bucket_bounded(ray_session):
+    from raystat.dataops.dedup import simhash_pairs
+
+    ds, planted = _hot_bucket_docs(ray_session)
+    cap = 64
+    metrics: dict = {}
+    pairs = simhash_pairs(ds, max_hamming=3, bucket_cap=cap, metrics=metrics)
+    assert metrics["overflow_buckets"] > 0
+    got = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    for p in planted:
+        assert p in got
+    hot = pairs[pairs["doc_a"] >= 1000]
+    assert 0 < len(hot) <= 1000 * cap
+    assert (hot["hamming"] == 0).all()
+
+
+def test_embedding_lsh_hot_bucket_bounded(ray_session):
+    """1k zero vectors all collide in every hyperplane table; the cap
+    bounds pair-gen and the (distributed) exact-cosine verify rejects
+    them (cos=0), while the planted identical pair survives."""
+    import ray.data as rd
+
+    from raystat.dataops.similarity import embedding_lsh_pairs
+
+    rng = np.random.default_rng(29)
+    n, dim, n_hot = 100, 16, 1000
+    X = rng.standard_normal((n, dim))
+    X[50] = X[0]  # exact dup
+    Z = np.zeros((n_hot, dim))
+    ids = np.concatenate([np.arange(n), 10_000 + np.arange(n_hot)])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "embedding": pa.array(
+                    list(np.vstack([X, Z])), type=pa.list_(pa.float64())
+                ),
+            }
+        )
+    ).repartition(8)
+    metrics: dict = {}
+    out = embedding_lsh_pairs(ds, threshold=0.95, bucket_cap=64, metrics=metrics)
+    assert metrics["overflow_buckets"] > 0
+    got = {(int(a), int(b)) for a, b in zip(out["vec_a"], out["vec_b"])}
+    assert (0, 50) in got
+    assert not any(a >= 10_000 for a, _ in got)  # zero-vector pairs rejected
 
 
 def test_ann_ivf_index_and_search(ray_session, tmp_path):
