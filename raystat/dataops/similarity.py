@@ -38,6 +38,41 @@ def _normalize(X: np.ndarray) -> np.ndarray:
     return X / n
 
 
+def _batch_topk(C: np.ndarray, ids: np.ndarray, k: int):
+    """Exact per-column top-k of a (n_batch x n_q) score matrix with
+    (cos desc, id asc) ordering — vectorized across ALL queries (no
+    per-query Python loop): one argpartition along axis 0, a
+    boundary-tie repair (entries equal to the kth value join the
+    candidate set, so a tied smaller id can never be dropped), then
+    one global lexsort over the ~k*q candidates.  Entries set to -inf
+    are excluded.  Returns (col, id, cos) flat arrays, <=k rows per
+    column."""
+    n, q = C.shape
+    if n == 0 or q == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.float64)
+    kk = min(k, n)
+    colsq = np.arange(q)
+    part = np.argpartition(-C, kk - 1, axis=0)[:kk]  # (kk, q)
+    vmin = C[part, colsq].min(axis=0)  # per-column kth value
+    cand = np.zeros(C.shape, dtype=bool)
+    cand[part, colsq] = True
+    cand |= C == vmin[None, :]
+    cand &= np.isfinite(C)  # excluded (-inf) entries never surface
+    cols, rows = np.nonzero(cand.T)
+    cosv = C[rows, cols]
+    idv = ids[rows]
+    order = np.lexsort((idv, -cosv, cols))
+    cols, idv, cosv = cols[order], idv[order], cosv[order]
+    if not len(cols):
+        return cols.astype(np.int64), idv.astype(np.int64), cosv
+    idxs = np.arange(len(cols))
+    first = np.r_[True, cols[1:] != cols[:-1]]
+    rank = idxs - np.maximum.accumulate(np.where(first, idxs, 0))
+    keep = rank < k
+    return cols[keep].astype(np.int64), idv[keep].astype(np.int64), cosv[keep]
+
+
 def ann_topk(
     ds,
     query_vectors: np.ndarray,
@@ -61,28 +96,14 @@ def ann_topk(
         X = _normalize(_stack(batch[vec_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         C = X @ Qm.T  # (n_batch, n_q)
-        out_q, out_n, out_c = [], [], []
-        for j in range(Qm.shape[0]):
-            c = C[:, j]
-            mask = ids != qids[j] if exclude_self else np.ones(len(ids), bool)
-            cj, ij = c[mask], ids[mask]
-            if not len(cj):
-                continue
-            kk = min(k, len(cj))
-            # top-k by (cos desc, id asc)
-            order = np.lexsort((ij, -cj))[:kk]
-            out_q.append(np.full(kk, qids[j], dtype=np.int64))
-            out_n.append(ij[order])
-            out_c.append(cj[order])
-        if not out_q:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
-            )
+        if exclude_self:
+            C[ids[:, None] == qids[None, :]] = -np.inf
+        cols, nids, cosv = _batch_topk(C, ids, k)
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "neighbor_id": pa.array(np.concatenate(out_n)),
-                "cos": pa.array(np.concatenate(out_c)),
+                "query_id": pa.array(qids[cols]),
+                "neighbor_id": pa.array(nids),
+                "cos": pa.array(cosv),
             }
         )
 
@@ -199,36 +220,27 @@ def ann_topk_ivf(
     qids = np.asarray(query_ids, dtype=np.int64)
     qref = ray.put((Q, qids, probes))
 
+    n_cent = len(C)
+
     def partial_topk(batch: pa.Table) -> pa.Table:
         Qm, qi, pr = ray.get(qref)
         X = _normalize(_stack(batch[vec_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cent = batch["centroid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_q, out_n, out_c = [], [], []
-        Cb = X @ Qm.T
-        for j in range(Qm.shape[0]):
-            mask = np.isin(cent, pr[j])  # only this query's probed lists
-            if exclude_self:
-                mask &= ids != qi[j]
-            if not mask.any():
-                continue
-            cj, ij = Cb[mask, j], ids[mask]
-            kk = min(k, len(cj))
-            order = np.lexsort((ij, -cj))[:kk]
-            out_q.append(np.full(kk, qi[j], dtype=np.int64))
-            out_n.append(ij[order])
-            out_c.append(cj[order])
-        if not out_q:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()),
-                 "neighbor_id": pa.array([], pa.int64()),
-                 "cos": pa.array([], pa.float64())}
-            )
+        Cb = X @ Qm.T  # (n_batch, n_q)
+        # (centroid, query) probe-membership lookup, then one gather:
+        # rows outside a query's probed lists are masked to -inf
+        allowed = np.zeros((n_cent, Qm.shape[0]), dtype=bool)
+        allowed[pr, np.arange(Qm.shape[0])[:, None]] = True
+        Cb[~allowed[cent]] = -np.inf
+        if exclude_self:
+            Cb[ids[:, None] == qi[None, :]] = -np.inf
+        cols, nids, cosv = _batch_topk(Cb, ids, k)
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "neighbor_id": pa.array(np.concatenate(out_n)),
-                "cos": pa.array(np.concatenate(out_c)),
+                "query_id": pa.array(qi[cols]),
+                "neighbor_id": pa.array(nids),
+                "cos": pa.array(cosv),
             }
         )
 

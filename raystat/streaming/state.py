@@ -269,65 +269,60 @@ class Router:
 
 @ray.remote(num_cpus=0)
 class SessionStatePartition:
-    """Session-window state store: per-source lists of open partial
-    sessions ``[start_us, end_us, sums...]`` merged by the gap rule.
+    """Session-window state store: open partial sessions
+    ``(source, start_us, end_us, sums...)`` merged by the gap rule.
 
     Sessions are NOT salted: one source's session state must be
     contiguous to merge correctly (ksqlDB likewise processes one key in
     one partition).  This is exactly the case where the reference's
     ``merge()`` on overlapping partials is load-bearing (SESSION windows
-    merge partial aggregates, SURVEY.md §2.2)."""
+    merge partial aggregates, SURVEY.md §2.2).
+
+    Merge strategy mirrors StatePartition: ``ingest`` only APPENDS the
+    incoming partial table (O(1) in the hot path); the gap-rule merge
+    happens lazily at epoch boundaries as ONE vectorized sweep over
+    everything pending — factorize sources, lexsort by (source, start),
+    grouped end-cummax, cluster breaks where ``start - cummax(end) >
+    gap``, then ``np.add.reduceat`` per sum column.  (The global
+    grouped cummax is sufficient: a row starting beyond it is provably
+    a new cluster, and any row inside a new cluster has ``end >= start
+    > previous cummax``, so earlier clusters never leak into a later
+    cluster's end.)  Same interval algorithm the batch path uses
+    (aggregate.session_moments); C-loop per key at any source
+    cardinality — no per-source or per-row Python."""
 
     def __init__(self, partition_id: int, sum_cols: list[str], gap_s: int):
         self.pid = partition_id
         self.sum_cols = list(sum_cols)
         self.gap_us = int(gap_s) * 1_000_000
-        self.state: dict[str, np.ndarray] = {}  # source -> (k, 2+S) array
+        self._cols = ["session_start_us", "session_end_us"] + self.sum_cols
+        self.state: pd.DataFrame = self._empty_state()
+        self.pending: list[pa.Table] = []
         self.error: str | None = None
         self.metrics = {"partial_rows_in": 0, "ingests": 0, "sessions_closed": 0}
+
+    def _empty_state(self) -> pd.DataFrame:
+        d = {
+            "source": pd.Series(dtype=object),
+            "session_start_us": pd.Series(dtype=np.int64),
+            "session_end_us": pd.Series(dtype=np.int64),
+        }
+        d.update({c: pd.Series(dtype=np.float64) for c in self.sum_cols})
+        return pd.DataFrame(d)
 
     def ingest_count(self) -> int:
         if self.error is not None:
             raise RuntimeError(f"session partition {self.pid} ingest failed: {self.error}")
         return self.metrics["ingests"]
 
-    def _merge_rows(self, rows: np.ndarray) -> np.ndarray:
-        """Interval-merge sorted-by-start rows (start, end, sums...)."""
-        order = np.argsort(rows[:, 0], kind="stable")
-        rows = rows[order]
-        out = [rows[0].copy()]
-        for r in rows[1:]:
-            cur = out[-1]
-            if r[0] - cur[1] <= self.gap_us:
-                cur[1] = max(cur[1], r[1])
-                cur[2:] += r[2:]
-            else:
-                out.append(r.copy())
-        return np.stack(out)
-
     def ingest(self, table: pa.Table) -> int:
-        """Merge a partial-sessions table (cols: source,
-        session_start_us, session_end_us, *sum_cols)."""
+        """Buffer a partial-sessions table (cols: source,
+        session_start_us, session_end_us, *sum_cols); gap-rule merge
+        deferred to _consolidate()."""
         try:
             n = table.num_rows
             if n:
-                src = table["source"].to_pylist()
-                arr = np.column_stack(
-                    [table["session_start_us"].to_numpy(zero_copy_only=False).astype(np.float64),
-                     table["session_end_us"].to_numpy(zero_copy_only=False).astype(np.float64)]
-                    + [table[c].to_numpy(zero_copy_only=False).astype(np.float64)
-                       for c in self.sum_cols]
-                )
-                import collections
-
-                by_src = collections.defaultdict(list)
-                for i, s in enumerate(src):
-                    by_src[s].append(i)
-                for s, idx in by_src.items():
-                    rows = arr[idx]
-                    cur = self.state.get(s)
-                    allr = rows if cur is None else np.vstack([cur, rows])
-                    self.state[s] = self._merge_rows(allr)
+                self.pending.append(table.select(["source"] + self._cols))
             self.metrics["partial_rows_in"] += n
         except Exception as e:  # surface via ingest_count, not a timeout
             self.error = repr(e)
@@ -335,66 +330,94 @@ class SessionStatePartition:
         self.metrics["ingests"] += 1
         return n
 
+    def _consolidate(self) -> None:
+        if not self.pending:
+            return
+        new = pa.concat_tables(self.pending).to_pandas()
+        self.pending = []
+        new["session_start_us"] = new["session_start_us"].astype(np.int64)
+        new["session_end_us"] = new["session_end_us"].astype(np.int64)
+        for c in self.sum_cols:
+            if new[c].dtype != np.float64:
+                new[c] = new[c].astype(np.float64)
+        allf = (
+            pd.concat([self.state, new], ignore_index=True)
+            if len(self.state)
+            else new
+        )
+        codes, _ = pd.factorize(allf["source"], sort=False)
+        start = allf["session_start_us"].to_numpy()
+        end = allf["session_end_us"].to_numpy()
+        order = np.lexsort((start, codes))
+        codes_s, start_s, end_s = codes[order], start[order], end[order]
+        cm = pd.Series(end_s).groupby(codes_s).cummax().to_numpy()
+        n = len(codes_s)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (codes_s[1:] != codes_s[:-1]) | (
+            start_s[1:] - cm[:-1] > self.gap_us
+        )
+        starts_idx = np.flatnonzero(brk)
+        last_idx = np.append(starts_idx[1:], n) - 1
+        S = allf[self.sum_cols].to_numpy()[order]
+        sums = np.add.reduceat(S, starts_idx, axis=0)
+        merged = pd.DataFrame(
+            {
+                "source": allf["source"].to_numpy()[order][starts_idx],
+                "session_start_us": start_s[starts_idx],
+                "session_end_us": cm[last_idx].astype(np.int64),
+            }
+        )
+        for j, c in enumerate(self.sum_cols):
+            merged[c] = sums[:, j]
+        self.state = merged
+
+    def _emit_table(self, df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "source": pa.array(df["source"].tolist(), pa.string()),
+                "session_start_us": pa.array(
+                    df["session_start_us"].to_numpy().astype(np.int64)
+                ),
+                "session_end_us": pa.array(
+                    df["session_end_us"].to_numpy().astype(np.int64)
+                ),
+                **{c: pa.array(df[c].to_numpy()) for c in self.sum_cols},
+            }
+        )
+
     def close_windows(self, watermark_s: int) -> pa.Table:
         """Pop sessions that can no longer be extended:
         end + gap <= watermark."""
+        self._consolidate()
         wm_us = watermark_s * 1_000_000
-        out_src, out_rows = [], []
-        for s in list(self.state):
-            rows = self.state[s]
-            closed = rows[:, 1] + self.gap_us <= wm_us
-            if closed.any():
-                for r in rows[closed]:
-                    out_src.append(s)
-                    out_rows.append(r)
-                rest = rows[~closed]
-                if len(rest):
-                    self.state[s] = rest
-                else:
-                    del self.state[s]
-        self.metrics["sessions_closed"] += len(out_rows)
-        cols = ["session_start_us", "session_end_us"] + self.sum_cols
-        if not out_rows:
-            return pa.table(
-                {"source": pa.array([], pa.string()),
-                 **{c: pa.array([], pa.float64()) for c in cols}}
-            )
-        m = np.stack(out_rows)
-        return pa.table(
-            {"source": pa.array(out_src, pa.string()),
-             **{c: pa.array(m[:, j]) for j, c in enumerate(cols)}}
+        closed_mask = (
+            self.state["session_end_us"].to_numpy() + self.gap_us <= wm_us
         )
+        closed = self.state[closed_mask]
+        self.state = self.state[~closed_mask].reset_index(drop=True)
+        self.metrics["sessions_closed"] += int(len(closed))
+        return self._emit_table(closed)
 
     def get_metrics(self) -> dict:
-        return {"partition": self.pid, **self.metrics, "live_sources": len(self.state)}
+        self._consolidate()
+        return {
+            "partition": self.pid,
+            **self.metrics,
+            "live_sources": int(self.state["source"].nunique()),
+        }
 
     def peek_state(self) -> pa.Table:
         """Non-destructive snapshot of all live sessions."""
-        srcs, rows = [], []
-        for src in sorted(self.state):
-            for r in self.state[src]:
-                srcs.append(src)
-                rows.append(r)
-        cols = ["session_start_us", "session_end_us"] + self.sum_cols
-        m = np.stack(rows) if rows else np.zeros((0, len(cols)))
-        return pa.table(
-            {"source": pa.array(srcs, pa.string()),
-             **{c: pa.array(m[:, j]) for j, c in enumerate(cols)}}
+        self._consolidate()
+        return self._emit_table(
+            self.state.sort_values(
+                ["source", "session_start_us"], ignore_index=True
+            )
         )
 
     def snapshot(self, ckpt_dir: str, epoch: int) -> str:
         os.makedirs(ckpt_dir, exist_ok=True)
-        srcs, rows = [], []
-        for s in sorted(self.state):
-            for r in self.state[s]:
-                srcs.append(s)
-                rows.append(r)
-        cols = ["session_start_us", "session_end_us"] + self.sum_cols
-        m = np.stack(rows) if rows else np.zeros((0, len(cols)))
-        t = pa.table(
-            {"source": pa.array(srcs, pa.string()),
-             **{c: pa.array(m[:, j]) for j, c in enumerate(cols)}}
-        )
+        t = self.peek_state()
         path = os.path.join(ckpt_dir, f"sess-p{self.pid:04d}.parquet")
         tmp = path + ".tmp"
         pq.write_table(t, tmp)
@@ -409,25 +432,18 @@ class SessionStatePartition:
         give the counters a head start and let the barrier pass while
         the current epoch's ingests are still queued."""
         path = os.path.join(ckpt_dir, f"sess-p{self.pid:04d}.parquet")
-        self.state = {}
+        self.pending = []
+        self.state = self._empty_state()
         if not os.path.exists(path):
             return 0
         t = pq.read_table(path)
         if t.num_rows:
-            src = t["source"].to_pylist()
-            arr = np.column_stack(
-                [t["session_start_us"].to_numpy(zero_copy_only=False).astype(np.float64),
-                 t["session_end_us"].to_numpy(zero_copy_only=False).astype(np.float64)]
-                + [t[c].to_numpy(zero_copy_only=False).astype(np.float64)
-                   for c in self.sum_cols]
-            )
-            import collections
-
-            by_src = collections.defaultdict(list)
-            for i, s in enumerate(src):
-                by_src[s].append(i)
-            for s, idx in by_src.items():
-                self.state[s] = self._merge_rows(arr[idx])
+            df = t.select(["source"] + self._cols).to_pandas()
+            df["session_start_us"] = df["session_start_us"].astype(np.int64)
+            df["session_end_us"] = df["session_end_us"].astype(np.int64)
+            for c in self.sum_cols:
+                df[c] = df[c].astype(np.float64)
+            self.state = df
         return t.num_rows
 
 

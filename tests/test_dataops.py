@@ -338,6 +338,42 @@ def test_minhash_lsh_larger_fixture(ray_session):
         assert j.loc[p] == 1.0  # output jaccard is exact, not estimated
 
 
+def test_ann_topk_1000_queries(ray_session):
+    """Vectorized-across-queries partial top-k: 1000 queries against
+    2000 vectors (with planted exact duplicates so boundary ties
+    exercise the tie repair) must match the brute-force (cos desc,
+    id asc) reference exactly."""
+    import ray.data as rd
+
+    from raystat.dataops.similarity import ann_topk
+
+    rng = np.random.default_rng(41)
+    n, dim, nq, k = 2000, 16, 1000, 10
+    X = rng.standard_normal((n, dim))
+    X[1500:1520] = X[0:20]  # planted dups -> exact cos ties
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(X), type=pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(8)
+    qids = np.arange(nq, dtype=np.int64)
+    out = ann_topk(ds, X[:nq], qids, k=k)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn @ Xn[:nq].T
+    ids = np.arange(n)
+    for q in [0, 1, 5, 17, 499, 999]:  # incl. planted-dup queries
+        c = C[:, q]
+        mask = ids != q
+        order = np.lexsort((ids[mask], -c[mask]))[:k]
+        expect = list(ids[mask][order])
+        got = out[out["query_id"] == q]["neighbor_id"].tolist()
+        assert got == expect, (q, got, expect)
+    assert len(out) == nq * k
+
+
 def test_exact_dup_pairs(docs_ds):
     from raystat.dataops.dedup import exact_dup_pairs
 

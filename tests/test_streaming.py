@@ -515,6 +515,71 @@ def test_session_resume_equals_uninterrupted(ray_session, fixture_dir):
     pd.testing.assert_frame_equal(a, b, check_like=True)
 
 
+def test_session_high_cardinality_sources(ray_session, tmp_path):
+    """1000 distinct sources in SESSION mode: the vectorized
+    consolidate sweep (factorize + lexsort + grouped cummax +
+    reduceat) must equal the batch session_moments twin."""
+    import ray.data as rd
+
+    from raystat.aggregate import session_moments
+    from raystat.extract import T0_US, add_event_time
+
+    rng = np.random.default_rng(71)
+    n = 40_000
+    ids = np.arange(n, dtype=np.int64)
+    doc_id = np.char.add("doc-", np.char.zfill(ids.astype(str), 12))
+    src = np.char.add("s", rng.integers(0, 1000, size=n).astype(str))
+    n_tok = rng.integers(1, 300, size=n).astype(np.int32)
+    flat = rng.integers(0, 100, size=int(n_tok.sum()), dtype=np.int32)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offs[1:])
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(flat)),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    ev = event_time_us_from_numeric(numeric_doc_id(t["doc_id"]))
+    epoch = (ev - T0_US) // epoch_len_us(4)
+    fix = str(tmp_path / "sess_hc")
+    for e in np.unique(epoch):
+        d = os.path.join(fix, f"arrival={int(e)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t.filter(pa.array(epoch == e)), os.path.join(d, "p.parquet"))
+
+    gap = 1800
+    cfg = StreamConfig(
+        specs={"wavg": "weighted_average", "wstd": "stddev_weighted"},
+        session_gap_s=gap,
+        allowed_lateness_s=10 * LATENESS_S,
+        n_partitions=8,
+    )
+    out = str(tmp_path / "sess_hc_out")
+    drv = StreamDriver(fix, out, cfg)
+    drv.run()
+    got = drv.result_table().to_pandas().sort_values(
+        ["source", "window_start"], ignore_index=True
+    )
+    assert got["source"].nunique() == 1000
+
+    ds = rd.from_arrow(t).map_batches(add_event_time, batch_format="pyarrow")
+    exp = (
+        session_moments(
+            ds, {"wavg": "weighted_average", "wstd": "stddev_weighted"},
+            ["source"], value="n_tok", weight="n_tok", ts="ts", gap_s=gap,
+        )
+        .to_pandas()
+        .sort_values(["source", "session_start_us"], ignore_index=True)
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["window_start"], exp["session_start_us"])
+    np.testing.assert_array_equal(got["window_end"], exp["session_end_us"])
+    np.testing.assert_allclose(got["wavg"], exp["wavg"], rtol=1e-9)
+    np.testing.assert_allclose(got["wstd"], exp["wstd"], rtol=1e-9, atol=1e-9)
+
+
 def test_hopping_passthrough_matches_late_counts(ray_session, fixture_dir):
     """Hopping + passthrough: the sink keeps exactly the rows the
     aggregate path accepted (late iff ALL covering windows closed), and
