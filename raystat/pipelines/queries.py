@@ -257,6 +257,10 @@ def _passthrough_tokens(sf_dir):
 
 
 def _streaming_tokens(sf_dir):
+    """The flagship full-surface streaming run (token-length AND
+    token-value moments per window), now driver-verified: every output
+    column except the commit epoch is SQL-expressible (window_end =
+    window_start + size; n_rows = count)."""
     from raystat.fixtures import epoch_len_us
     from raystat.pipelines.tokens import documents_stream_fixture
     from raystat.streaming import StreamConfig, StreamDriver
@@ -277,9 +281,44 @@ def _streaming_tokens(sf_dir):
         )
         drv = StreamDriver(fix, out, cfg)
         drv.run()
-        return drv.result_table().to_pandas().drop(columns=["quality"])
+        return drv.result_table().to_pandas().drop(columns=["quality", "epoch"])
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _passthrough_checksums(sf_dir):
+    """Driver-checkable shadow of the per-row passthrough invariant:
+    (doc_id, n_tok, source, tok_sum) where tok_sum folds the token
+    ARRAY — a changed/truncated/reordered-token row changes tok_sum,
+    and DuckDB reproduces it from text via the SQL tokenizer twin.
+    (Byte-exact token-array equality itself is pytest-verified:
+    test_passthrough_exact_token_equality.)"""
+    import numpy as np
+    import pyarrow as pa
+
+    from raystat.extract import numeric_doc_id
+    from raystat.pipelines.tokens import tokenize_documents
+
+    def checksum(batch: pa.Table) -> pa.Table:
+        tok = batch["tokens"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        off = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tok.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(vals[off[0]:off[-1]])))
+        lo = off[0]
+        tok_sum = cs[off[1:] - lo] - cs[off[:-1] - lo]
+        return pa.table(
+            {
+                # back to the documents table's integer id for the twin
+                "doc_id": pa.array(numeric_doc_id(batch["doc_id"])),
+                "n_tok": batch["n_tok"].cast(pa.int64()),
+                "source": batch["source"],
+                "tok_sum": pa.array(tok_sum),
+            }
+        )
+
+    return tokenize_documents(sf_dir).map_batches(checksum, batch_format="pyarrow")
 
 
 def _streaming_lengths(sf_dir):
@@ -598,7 +637,43 @@ QUERIES: list[QueryDef] = [
             FROM f GROUP BY source""",
     ),
     QueryDef("passthrough_tokens", _passthrough_tokens, None),
-    QueryDef("streaming_windowed_tokens", _streaming_tokens, None),
+    QueryDef(
+        "passthrough_checksums",
+        _passthrough_checksums,
+        f"""SELECT doc_id, cast({N_TOK_SQL} as bigint) AS n_tok, source,
+              cast(coalesce(list_sum(list_transform(
+                CASE WHEN length(trim(text)) = 0 THEN cast([] AS varchar[])
+                     ELSE string_split_regex(trim(text), '\\s+') END,
+                w -> {token_id_sql('w')})), 0) as bigint) AS tok_sum
+            FROM documents""",
+    ),
+    QueryDef(
+        "streaming_windowed_tokens",
+        _streaming_tokens,
+        f"""WITH f AS ({TOK_FLAT_SQL}),
+            lens AS (
+              SELECT source, {TOK_WS_SQL} AS window_start,
+                {sql_wavg(N_TOK_SQL, N_TOK_SQL)} AS wavg,
+                {sql_wstd(N_TOK_SQL, N_TOK_SQL)} AS wstd,
+                {sql_skew(N_TOK_SQL)} AS skew,
+                {sql_kurt(N_TOK_SQL)} AS kurt,
+                count(*) AS n_rows
+              FROM documents GROUP BY source, window_start
+            ), toks AS (
+              SELECT source, window_start,
+                {sql_wavg('token', '1.0')} AS tok_mean,
+                {sql_wstd('token', '1.0')} AS tok_std,
+                {sql_skew('token')} AS tok_skew,
+                {sql_kurt('token')} AS tok_kurt
+              FROM f GROUP BY source, window_start
+            )
+            SELECT l.source, l.window_start,
+                   cast(l.window_start + 21600 as bigint) AS window_end,
+                   l.wavg, l.wstd, l.skew, l.kurt,
+                   t.tok_mean, t.tok_std, t.tok_skew, t.tok_kurt,
+                   cast(l.n_rows as bigint) AS n_rows
+            FROM lens l JOIN toks t USING (source, window_start)""",
+    ),
     QueryDef(
         "streaming_windowed_lengths",
         _streaming_lengths,
