@@ -258,6 +258,35 @@ def main() -> None:
     ).to_pandas()
     queries["session_window_events"] = round(time.time() - t0, 3)
 
+    # -- training-data operators over the sf documents/embeddings -----------
+    from raystat.dataops.dedup import exact_dedup, minhash_lsh_pairs
+    from raystat.dataops.similarity import ann_topk
+
+    docs = rd.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    t0 = time.time()
+    exact_dedup(docs).count()
+    queries["dedup_exact_documents"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    minhash_lsh_pairs(docs, threshold=0.8)
+    queries["minhash_dedup_pairs"] = round(time.time() - t0, 3)
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    emb = rd.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qt = _pq.read_table(
+        os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).slice(0, 100)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    t0 = time.time()
+    ann_topk(emb, Q, qt["vec_id"].to_numpy(), k=10)
+    queries["ann_topk_100q"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
