@@ -338,6 +338,74 @@ def test_minhash_lsh_larger_fixture(ray_session):
         assert j.loc[p] == 1.0  # output jaccard is exact, not estimated
 
 
+def test_capped_bucket_pairs_properties():
+    from raystat.dataops.pairs import OVERFLOW_SENTINEL, capped_bucket_pairs
+
+    rng = np.random.default_rng(47)
+    ids = rng.choice(100_000, size=1000, replace=False).astype(np.int64)
+    # small bucket: exhaustive
+    small = capped_bucket_pairs(ids[:10], cap=64)
+    assert len(small) == 45 and (small["doc_a"] < small["doc_b"]).all()
+    # big bucket: bounded, sentinel present, deterministic
+    big = capped_bucket_pairs(ids, cap=64)
+    sent = big[big["doc_a"] == OVERFLOW_SENTINEL]
+    assert len(sent) == 1 and int(sent["doc_b"].iloc[0]) == 1000
+    real = big[big["doc_a"] != OVERFLOW_SENTINEL]
+    assert 0 < len(real) <= 1000 * 64 // 2 + 1000
+    assert (real["doc_a"] < real["doc_b"]).all()
+    big2 = capped_bucket_pairs(rng.permutation(ids), cap=64)
+    pd.testing.assert_frame_equal(
+        big.sort_values(["doc_a", "doc_b"], ignore_index=True),
+        big2.sort_values(["doc_a", "doc_b"], ignore_index=True),
+    )
+
+
+def test_verify_pairs_distributed_routing(ray_session):
+    """The id->partitions routing must deliver every referenced doc's
+    payload to every partition whose pairs need it — checked by a
+    verify_group that fails loudly on a missing lookup, across enough
+    pairs to span many partitions, with ids scattered over batches."""
+    import ray.data as rd
+
+    from raystat.dataops.pairs import verify_pairs_distributed
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    vals = (ids * 7 + 3).astype(np.float64)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "val": pa.array(vals)})
+    ).repartition(16)
+    rng = np.random.default_rng(53)
+    a = rng.integers(0, n, size=5000).astype(np.int64)
+    b = rng.integers(0, n, size=5000).astype(np.int64)
+    keep = a != b
+    cand = pd.DataFrame(
+        {"doc_a": np.minimum(a, b)[keep], "doc_b": np.maximum(a, b)[keep]}
+    ).drop_duplicates(ignore_index=True)
+
+    def payload_of(batch: pa.Table, rows: np.ndarray) -> list:
+        sub = batch.take(pa.array(rows))
+        return [np.array([v], dtype=np.float64) for v in sub["val"].to_pylist()]
+
+    def verify(prs: pd.DataFrame, lookup: dict) -> pd.DataFrame:
+        out = []
+        for x, y in zip(prs["doc_a"], prs["doc_b"]):
+            # KeyError here = payload not routed to this partition
+            out.append((int(x), int(y), float(lookup[int(x)][0] + lookup[int(y)][0])))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "s"])
+
+    out = verify_pairs_distributed(
+        ds, cand, "doc_id", payload_of, verify,
+        payload_type=pa.list_(pa.float64()),
+        out_schema={"doc_a": np.int64, "doc_b": np.int64, "s": np.float64},
+        pairs_per_partition=256,  # force many partitions
+    )
+    assert len(out) == len(cand)
+    m = out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    expect = (m["doc_a"] * 7 + 3 + m["doc_b"] * 7 + 3).astype(np.float64)
+    np.testing.assert_array_equal(m["s"].to_numpy(), expect.to_numpy())
+
+
 def test_ann_topk_1000_queries(ray_session):
     """Vectorized-across-queries partial top-k: 1000 queries against
     2000 vectors (with planted exact duplicates so boundary ties
