@@ -5,14 +5,19 @@ training-data pipelines).
   first-per-group (only winners leave the shuffle).
 - MinHash+LSH near-dup: shingle -> 64-perm minhash (vectorized
   reduceat) -> banded (band_id, band_hash, doc_id) rows -> groupby
-  buckets -> candidate pairs -> exact shingle-Jaccard verify on the
-  (small) candidate set.
+  buckets (capped: hot buckets sub-split, pairs.capped_bucket_pairs)
+  -> candidate id pairs -> exact shingle-Jaccard verify in a
+  co-partitioned distributed pass (pairs.verify_pairs_distributed).
 - SimHash near-dup: 64-bit simhash per doc (bitplane sums via
-  reduceat), band on 16-bit quarters, verify by Hamming distance.
+  reduceat), band on 16-bit quarters (capped), Hamming verify inside
+  the bucket map_groups.
+- exact_dup_pairs: identical-text pairs (containment ground truth for
+  the LSH paths).
 - embedding cosine near-dup: see similarity.py.
 
 Partitioning assumptions are stated per function; every shuffle moves
-hashes/signatures, never raw text.
+hashes/signatures/id-pairs, never raw text, and candidate payloads
+never materialize on the driver.
 """
 
 from __future__ import annotations
