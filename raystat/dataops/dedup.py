@@ -32,6 +32,7 @@ __all__ = [
     "add_content_hash",
     "exact_dedup",
     "exact_dup_pairs",
+    "near_dedup",
     "minhash_signatures_batch",
     "minhash_lsh_pairs",
     "simhash_batch",
@@ -107,6 +108,53 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         np.sort(loser_df["_id"].to_numpy().astype(np.int64))
         if len(loser_df) and "_id" in loser_df.columns
         else np.zeros(0, dtype=np.int64)
+    )
+    ref = ray.put(losers)
+
+    def anti_join(batch: pa.Table) -> pa.Table:
+        lose = ray.get(ref)
+        if not lose.size:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(lose, ids)
+        pos[pos == lose.size] = 0
+        return batch.filter(pa.array(lose[pos] != ids))
+
+    return ds.map_batches(anti_join, batch_format="pyarrow")
+
+
+def near_dedup(ds, pairs: pd.DataFrame, id_col: str = "doc_id"):
+    """Filter a corpus to one survivor (min id) per connected component
+    of a near-duplicate pair graph — the end product of MinHash/SimHash
+    dedup (the pair functions feed this).
+
+    Scale shape: union-find runs on the driver over the PAIR LIST,
+    which is the same magnitude as the pair functions' own return
+    value (≪ corpus in any dedup regime); the loser ids broadcast via
+    one ``ray.put`` and a streaming anti-join filters the corpus —
+    the corpus itself never shuffles (same pass-2 shape as
+    :func:`exact_dedup`)."""
+    import ray
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # min-id root wins so the survivor is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    losers = np.array(
+        sorted(x for x in parent if find(x) != x), dtype=np.int64
     )
     ref = ray.put(losers)
 

@@ -805,6 +805,42 @@ def _q_simhash_pairs(sf_dir):
     return simhash_pairs(_docs(sf_dir), max_hamming=3)
 
 
+# the exact shingle-Jaccard pair set, entirely in SQL: 3-word shingles
+# (same shingling as dedup.shingle_set, strings instead of crc32
+# hashes), pairwise set Jaccard >= 0.8 — full twin of minhash_lsh_pairs
+MINHASH_PAIRS_SQL = """WITH w AS (
+     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+     FROM documents
+   ), sh AS (
+     SELECT doc_id,
+       CASE WHEN len(ws) = 0 OR trim(array_to_string(ws,' ')) = '' THEN []
+            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(ws)-1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       END AS s
+     FROM w
+   )
+   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+   WHERE (CASE WHEN len(a.s)=0 AND len(b.s)=0 THEN 1.0
+               WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+               ELSE len(list_intersect(a.s, b.s))::double
+                    / len(list_distinct(a.s || b.s))
+          END) >= 0.8"""
+
+
+def _q_near_dedup(sf_dir):
+    """Corpus-level near-dedup (the END PRODUCT of MinHash dedup):
+    keep the min-id document of every connected component of the
+    verified >= 0.8 Jaccard pair graph.  Union-find over the pair list
+    (driver, pair-sized); losers broadcast; streaming anti-join."""
+    from raystat.dataops.dedup import minhash_lsh_pairs, near_dedup
+
+    ds = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(ds, threshold=0.8)
+    return near_dedup(ds, pairs).select_columns(["doc_id"])
+
+
 def _containment(pairs_fn):
     """Containment oracle materialized as equality: intersect the LSH
     pair set with the exact-duplicate pair set (identical texts).  LSH
@@ -1090,31 +1126,27 @@ QUERIES.extend(
             _q_dedup_exact,
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         ),
+        QueryDef("minhash_dedup_pairs", _q_minhash_pairs, MINHASH_PAIRS_SQL),
         QueryDef(
-            "minhash_dedup_pairs",
-            _q_minhash_pairs,
-            # the exact shingle-Jaccard pair set, entirely in SQL: 3-word
-            # shingles (same shingling as dedup.shingle_set, strings
-            # instead of crc32 hashes), pairwise set Jaccard >= 0.8
-            """WITH w AS (
-                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-                 FROM documents
-               ), sh AS (
-                 SELECT doc_id,
-                   CASE WHEN len(ws) = 0 OR trim(array_to_string(ws,' ')) = '' THEN []
-                        WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-                        ELSE list_distinct(list_transform(range(1, len(ws)-1),
-                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-                   END AS s
-                 FROM w
-               )
-               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-               WHERE (CASE WHEN len(a.s)=0 AND len(b.s)=0 THEN 1.0
-                           WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
-                           ELSE len(list_intersect(a.s, b.s))::double
-                                / len(list_distinct(a.s || b.s))
-                      END) >= 0.8""",
+            "dedup_near_documents",
+            _q_near_dedup,
+            # survivors = one min-id doc per connected component of the
+            # exact shingle-Jaccard >= 0.8 pair graph; components via a
+            # recursive transitive-closure CTE (a node is a loser iff it
+            # can reach a smaller id)
+            f"""WITH RECURSIVE pr AS ({MINHASH_PAIRS_SQL}),
+                edges AS (
+                  SELECT doc_a AS a, doc_b AS b FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr
+                ),
+                walk(node, reach) AS (
+                  SELECT a, b FROM edges
+                  UNION
+                  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+                ),
+                comp AS (SELECT node, min(reach) AS mn FROM walk GROUP BY node)
+                SELECT doc_id FROM documents
+                WHERE doc_id NOT IN (SELECT node FROM comp WHERE mn < node)""",
         ),
         QueryDef("simhash_dedup_pairs", _q_simhash_pairs, None),
         QueryDef(

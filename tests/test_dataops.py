@@ -82,6 +82,30 @@ def test_simhash_finds_exact_dups(docs_ds):
     assert ham.loc[(0, 35)] == 0
 
 
+def test_near_dedup_transitive_components(ray_session):
+    """near_dedup keeps ONE doc per connected component: a~b and b~c
+    put a,b,c in one component even when a!~c (transitivity via
+    union-find), and isolated docs always survive."""
+    import ray.data as rd
+
+    from raystat.dataops.dedup import near_dedup
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+                "text": pa.array([f"t{i}" for i in range(8)], pa.string()),
+            }
+        )
+    )
+    pairs = pd.DataFrame(
+        {"doc_a": np.array([1, 2, 6], dtype=np.int64),
+         "doc_b": np.array([2, 5, 7], dtype=np.int64)}
+    )  # components {1,2,5}, {6,7}; isolated 0,3,4
+    out = to_pandas(near_dedup(ds, pairs))
+    assert sorted(out["doc_id"]) == [0, 1, 3, 4, 6]
+
+
 def test_ngram_jaccard_symmetry():
     from raystat.dataops.dedup import jaccard, shingle_set
 
