@@ -423,6 +423,39 @@ def test_row_token_sums_empty_lists():
             assert r["t_n"].tolist() == [float(len(l)) for l in ls]
 
 
+def test_row_token_sums_property():
+    """Hypothesis: arbitrary list layouts (empties anywhere, any batch
+    slice offset) must match the obvious per-row sums exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raystat.streaming.driver import _row_token_sums
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 50256), max_size=20), min_size=0, max_size=30
+        ),
+        st.integers(0, 5),
+    )
+    def check(lists, off):
+        t = pa.table({"tokens": pa.array(lists, type=pa.list_(pa.int32()))})
+        tab = t.slice(min(off, len(lists)))
+        ls = lists[min(off, len(lists)):]
+        r = _row_token_sums(tab, "tokens", tab.num_rows)
+        for p in range(1, 5):
+            exp = np.array([float(sum(x**p for x in l)) for l in ls])
+            got = np.asarray(r[f"t_s{p}"])
+            if p <= 2:  # exactly representable in float64 at these sizes
+                assert got.tolist() == exp.tolist()
+            else:  # x^3/x^4 sums exceed 2^53: engine float path vs
+                #   exact-int oracle differ by last-ulp rounding only
+                np.testing.assert_allclose(got, exp, rtol=1e-12, atol=0)
+        assert r["t_n"].tolist() == [float(len(l)) for l in ls]
+
+    check()
+
+
 def test_streaming_token_stats_with_empty_token_docs(ray_session, tmp_path):
     """End-to-end token_stats with planted empty-token docs (including
     at the END of the input, where the reduceat bug hid): per-window
