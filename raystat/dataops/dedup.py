@@ -255,24 +255,33 @@ def minhash_lsh_pairs(
     shingle Jaccard >= threshold.  Returns a pandas DataFrame
     (doc_a, doc_b, jaccard), doc_a < doc_b.
 
-    Recall is the LSH banding recall (16 bands x 4 rows; a true pair
-    is a candidate iff it collides in >=1 band) — every candidate's
-    jaccard VALUE is exact.  Degenerate hot buckets are sub-split at
-    ``bucket_cap`` (pairs.capped_bucket_pairs), which additionally
-    bounds recall inside a single oversized bucket; overflow counts
-    land in ``metrics``.
+    Recall: (a) LSH banding recall (16 bands x 4 rows; a true pair is
+    a candidate iff it collides in >=1 band); (b) a PROBABILISTIC
+    estimate prune inside the verify — pairs whose 64-permutation
+    signature estimate falls below ``threshold - 3σ`` are rejected
+    without computing exact Jaccard (a borderline true pair in the
+    estimator's extreme lower tail can be lost; the margin makes that
+    ~1e-3).  Every EMITTED pair's jaccard VALUE is exact.  Degenerate
+    hot buckets are sub-split at ``bucket_cap``
+    (pairs.capped_bucket_pairs), which additionally bounds recall
+    inside a single oversized bucket; overflow counts land in
+    ``metrics``.
 
     Scale shape (two streaming passes, no text in any shuffle, no
     payloads on the driver):
     1. band rows (band_id, band_hash, doc_id) -> bucket groupby with
-       cap -> candidate id pairs (tiny: true near-dups + band
-       collisions; only 16-B id pairs reach the driver — the same
-       magnitude as this function's own return value).
+       cap -> candidate id pairs (only 16-B id pairs reach the driver
+       — the same magnitude as this function's own return value).
     2. distributed verify (pairs.verify_pairs_distributed): pairs are
-       hash-partitioned; one streaming pass shingles ONLY the
-       referenced docs and routes each shingle array to the partitions
-       whose pairs need it; exact Jaccard runs inside the partition
-       groups."""
+       hash-partitioned; one streaming pass computes (signature ‖
+       sorted shingle hashes) for ONLY the referenced docs and routes
+       each to the partitions whose pairs need it.  Inside each
+       partition the signature estimate is one vectorized matrix
+       compare over ALL pairs; the per-pair exact-Jaccard intersect
+       runs only on the near-positives — this is what keeps
+       boilerplate-heavy corpora (many same-prefix docs colliding in
+       bands with low true Jaccard) from degrading into a per-pair
+       set-intersect storm."""
     from raystat.dataops.pairs import (
         capped_bucket_pairs,
         pop_overflow,
@@ -301,21 +310,37 @@ def minhash_lsh_pairs(
         return empty
 
     def payload_of(batch: pa.Table, rows: np.ndarray) -> list:
-        texts = batch[text_col].take(pa.array(rows)).to_pylist()
+        # payload = 64-int signature ‖ sorted unique shingle hashes
+        sub = batch.take(pa.array(rows))
+        sigs = minhash_signatures_batch(sub, text_col)
+        texts = sub[text_col].to_pylist()
         return [
-            np.array(sorted(shingle_set(t)), dtype=np.int64) for t in texts
+            np.concatenate(
+                [sigs[i], np.array(sorted(shingle_set(t)), dtype=np.int64)]
+            )
+            for i, t in enumerate(texts)
         ]
 
+    # 3-sigma lower margin of the 64-permutation Jaccard estimator
+    margin = 3.0 * float(np.sqrt(threshold * (1 - threshold) / _N_PERM))
+
     def verify(prs: pd.DataFrame, lookup: dict) -> pd.DataFrame:
+        pa_ids = prs["doc_a"].to_numpy().astype(np.int64)
+        pb_ids = prs["doc_b"].to_numpy().astype(np.int64)
+        SA = np.stack([lookup[int(a_)][:_N_PERM] for a_ in pa_ids])
+        SB = np.stack([lookup[int(b_)][:_N_PERM] for b_ in pb_ids])
+        est = (SA == SB).mean(axis=1)
+        near = np.nonzero(est >= threshold - margin)[0]
         out_a, out_b, out_j = [], [], []
-        for a_, b_ in zip(prs["doc_a"], prs["doc_b"]):
-            sa, sb = lookup[int(a_)], lookup[int(b_)]
+        for i in near:
+            sa = lookup[int(pa_ids[i])][_N_PERM:]
+            sb = lookup[int(pb_ids[i])][_N_PERM:]
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             j = inter / union if union else 1.0
             if j >= threshold:
-                out_a.append(int(a_))
-                out_b.append(int(b_))
+                out_a.append(int(pa_ids[i]))
+                out_b.append(int(pb_ids[i]))
                 out_j.append(j)
         return pd.DataFrame(
             {"doc_a": np.array(out_a, dtype=np.int64),
