@@ -77,31 +77,32 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     Hash = 64-bit md5 prefix (uniform, no skew)."""
     import ray
 
+    from raystat.dataops.pairs import bucket_partition
+
     def hash_id(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = _md5_64(batch[text_col].to_pylist())
-        # combiner: batch-local min per hash survives; the rest are
-        # definite global losers (global min <= batch min)
-        order = np.lexsort((ids, h))
-        hs, is_ = h[order], ids[order]
-        first = np.ones(hs.size, dtype=bool)
-        first[1:] = hs[1:] != hs[:-1]
         return pa.table(
-            {"content_hash": pa.array(hs), "_id": pa.array(is_),
-             "_loser": pa.array(~first)}
+            {"content_hash": pa.array(h), "_id": pa.array(ids),
+             "part": pa.array(bucket_partition(h))}
         )
 
-    def losers_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.loc[~g["_loser"], "_id"]
-        lose = g.loc[g["_loser"], "_id"].to_numpy()
-        extra = keep.to_numpy()
-        extra = extra[extra != keep.min()] if len(extra) else extra
-        return pd.DataFrame({"_id": np.concatenate([lose, extra])})
+    def part_losers(g: pd.DataFrame) -> pd.DataFrame:
+        """All hash groups of one partition in ONE vectorized sweep:
+        sort by (hash, id); the first row per hash is the global min
+        (keeper), everything else loses.  No per-group Python."""
+        h = g["content_hash"].to_numpy()
+        ids = g["_id"].to_numpy()
+        order = np.lexsort((ids, h))
+        h_s, id_s = h[order], ids[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = h_s[1:] != h_s[:-1]
+        return pd.DataFrame({"_id": id_s[~first]})
 
     loser_df = (
         ds.map_batches(hash_id, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(losers_of_group, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_losers, batch_format="pandas")
         .to_pandas()
     )
     losers = (
@@ -283,22 +284,36 @@ def minhash_lsh_pairs(
        bands with low true Jaccard) from degrading into a per-pair
        set-intersect storm."""
     from raystat.dataops.pairs import (
-        capped_bucket_pairs,
+        bucket_partition,
         pop_overflow,
+        segmented_capped_pairs,
         verify_pairs_distributed,
     )
 
     def bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return _band_rows(ids, minhash_signatures_batch(batch, text_col))
+        t = _band_rows(ids, minhash_signatures_batch(batch, text_col))
+        # partition BUCKETS (not one Python call per bucket): buckets
+        # sharing a partition are swept vectorized in part_pairs
+        part = bucket_partition(
+            t["band_hash"].to_numpy(), t["band_id"].to_numpy()
+        )
+        return t.append_column("part", pa.array(part))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return capped_bucket_pairs(g["doc_id"].to_numpy(), bucket_cap)
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        bi = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, bh, bi))
+        bi, bh, ids = bi[order], bh[order], ids[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
+        return segmented_capped_pairs(ids, np.flatnonzero(brk), bucket_cap)
 
     cand = (
         ds.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()
     )
     cand = pop_overflow(cand, metrics).drop_duplicates(ignore_index=True)
@@ -362,24 +377,35 @@ def exact_dup_pairs(
     """All (a < b) pairs of EXACTLY identical texts — the containment
     ground truth for the LSH paths (every exact-dup pair must appear in
     minhash/simhash output; its SQL twin is a self-join on text).
-    Shuffles (content_hash, id) only; per-hash groups pair in the
-    workers (capped like any LSH bucket)."""
-    from raystat.dataops.pairs import capped_bucket_pairs, pop_overflow
+    Shuffles (content_hash, id) only; each partition's hash groups
+    pair in one vectorized sweep (capped like any LSH bucket)."""
+    from raystat.dataops.pairs import (
+        bucket_partition,
+        pop_overflow,
+        segmented_capped_pairs,
+    )
 
     def hash_id(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _md5_64(batch[text_col].to_pylist())
         return pa.table(
-            {"content_hash": pa.array(_md5_64(batch[text_col].to_pylist())),
-             "doc_id": pa.array(ids)}
+            {"content_hash": pa.array(h), "doc_id": pa.array(ids),
+             "part": pa.array(bucket_partition(h))}
         )
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return capped_bucket_pairs(g["doc_id"].to_numpy(), bucket_cap)
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["content_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, h))
+        h_s, id_s = h[order], ids[order]
+        brk = np.ones(len(h_s), dtype=bool)
+        brk[1:] = h_s[1:] != h_s[:-1]
+        return segmented_capped_pairs(id_s, np.flatnonzero(brk), bucket_cap)
 
     out = (
         ds.map_batches(hash_id, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(group_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()
     )
     if not len(out):
@@ -439,17 +465,23 @@ def simhash_pairs(
         return simhash_batch(batch, text_col, id_col)
 
     def bands(batch: pa.Table) -> pa.Table:
+        from raystat.dataops.pairs import bucket_partition
+
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         parts = []
         for b in range(4):
+            bh = ((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
             parts.append(
                 pa.table(
                     {
                         "band_id": pa.array(np.full(len(ids), b, dtype=np.int64)),
-                        "band_hash": pa.array(((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)),
+                        "band_hash": pa.array(bh),
                         "doc_id": pa.array(ids),
                         "simhash": pa.array(s.astype(np.int64)),
+                        "part": pa.array(
+                            bucket_partition(bh, np.full(len(ids), b, dtype=np.int64))
+                        ),
                     }
                 )
             )
@@ -465,20 +497,11 @@ def simhash_pairs(
         keep = ham <= max_hamming
         return ids[a][keep], ids[b][keep], ham[keep]
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        s = g["simhash"].to_numpy().astype(np.uint64)
+    def _bucket_ham(ids: np.ndarray, s: np.ndarray) -> tuple:
+        """One bucket (already id-sorted): capped + sub-split + verify."""
         n = len(ids)
-        if n < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series(dtype=np.int64),
-                 "doc_b": pd.Series(dtype=np.int64),
-                 "hamming": pd.Series(dtype=np.int64)}
-            )
         if n <= bucket_cap:
-            a, b, h = _ham_pairs(ids, s)
-            return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
+            return _ham_pairs(ids, s)
         # hot bucket: sub-split by a secondary id hash (bounds the
         # O(n^2) pair-gen to ~n*cap/2); report via sentinel row
         nsub = -(-n // bucket_cap)
@@ -497,6 +520,37 @@ def simhash_pairs(
                 out_a.append(a)
                 out_b.append(b)
                 out_h.append(h)
+        return (
+            np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_h)
+        )
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All buckets of one partition in a single vectorized sweep;
+        Python touches only the COLLIDING segments."""
+        bi = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        s = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, bh, bi))
+        bi, bh, ids, s = bi[order], bh[order], ids[order], s[order]
+        n = len(ids)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        out_a, out_b, out_h = [], [], []
+        for i in np.nonzero(sizes >= 2)[0]:
+            a, b, h = _bucket_ham(ids[starts[i] : ends[i]], s[starts[i] : ends[i]])
+            out_a.append(a)
+            out_b.append(b)
+            out_h.append(h)
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype=np.int64),
+                 "doc_b": pd.Series(dtype=np.int64),
+                 "hamming": pd.Series(dtype=np.int64)}
+            )
         return pd.DataFrame(
             {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
              "hamming": np.concatenate(out_h)}
@@ -505,8 +559,8 @@ def simhash_pairs(
     out = (
         ds.map_batches(sh, batch_format="pyarrow")
         .map_batches(bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()
     )
     if not len(out):

@@ -39,6 +39,8 @@ import pyarrow as pa
 __all__ = [
     "splitmix64",
     "capped_bucket_pairs",
+    "segmented_capped_pairs",
+    "bucket_partition",
     "pop_overflow",
     "verify_pairs_distributed",
     "OVERFLOW_SENTINEL",
@@ -90,6 +92,38 @@ def capped_bucket_pairs(ids: np.ndarray, cap: int) -> pd.DataFrame:
     return pd.DataFrame(
         {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
     )
+
+
+def segmented_capped_pairs(
+    ids_sorted: np.ndarray, starts: np.ndarray, cap: int
+) -> pd.DataFrame:
+    """Pairs within each segment of an already-sorted (by bucket key,
+    then id) id array.  Segment boundaries come from ``starts``;
+    singleton segments (the vast majority of LSH buckets) cost one
+    vectorized mask, and Python only touches the COLLIDING segments —
+    this is what makes bucket pair generation viable when a groupby
+    would otherwise invoke a Python fn once per tiny bucket."""
+    ends = np.append(starts[1:], len(ids_sorted))
+    sizes = ends - starts
+    multi = np.nonzero(sizes >= 2)[0]
+    if not len(multi):
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)}
+        )
+    out = [
+        capped_bucket_pairs(ids_sorted[starts[i] : ends[i]], cap) for i in multi
+    ]
+    return pd.concat(out, ignore_index=True)
+
+
+def bucket_partition(*keys: np.ndarray, n_parts: int = 64) -> np.ndarray:
+    """Stable partition assignment for bucket keys (mixed then
+    modulo): buckets sharing a partition are processed together by one
+    map_groups call instead of one call per bucket."""
+    h = np.zeros(len(keys[0]), dtype=np.uint64)
+    for k in keys:
+        h = splitmix64(h ^ k.astype(np.uint64))
+    return (h % np.uint64(n_parts)).astype(np.int64)
 
 
 def pop_overflow(cand: pd.DataFrame, metrics: dict | None) -> pd.DataFrame:

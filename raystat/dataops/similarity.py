@@ -338,8 +338,9 @@ def embedding_lsh_pairs(
     Oversized buckets (e.g. many zero/identical vectors) sub-split at
     ``bucket_cap``; overflow counts land in ``metrics``."""
     from raystat.dataops.pairs import (
-        capped_bucket_pairs,
+        bucket_partition,
         pop_overflow,
+        segmented_capped_pairs,
         verify_pairs_distributed,
     )
 
@@ -361,25 +362,38 @@ def embedding_lsh_pairs(
         weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
         for t in range(n_tables):
             bits = (X @ P[t].T) > 0
-            h = (bits.astype(np.uint64) * weights).sum(axis=1)
+            h = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
             parts.append(
                 pa.table(
                     {
                         "table_id": pa.array(np.full(len(ids), t, dtype=np.int64)),
-                        "bucket": pa.array(h.astype(np.int64)),
+                        "bucket": pa.array(h),
                         "vec_id": pa.array(ids),
+                        "part": pa.array(
+                            bucket_partition(
+                                h, np.full(len(ids), t, dtype=np.int64)
+                            )
+                        ),
                     }
                 )
             )
         return pa.concat_tables(parts)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return capped_bucket_pairs(g["vec_id"].to_numpy(), bucket_cap)
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # all buckets of one partition in one vectorized sweep
+        ti = g["table_id"].to_numpy()
+        bk = g["bucket"].to_numpy()
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, bk, ti))
+        ti, bk, ids = ti[order], bk[order], ids[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = (ti[1:] != ti[:-1]) | (bk[1:] != bk[:-1])
+        return segmented_capped_pairs(ids, np.flatnonzero(brk), bucket_cap)
 
     cand = (
         ds.map_batches(sig, batch_format="pyarrow")
-        .groupby(["table_id", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()
     )
     empty = pd.DataFrame(
