@@ -4,8 +4,8 @@ import — equivalently once per worker process)."""
 
 from __future__ import annotations
 
+import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -76,12 +76,19 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(pred.astype(object), pa.string())})
 
 
+def _word_hash(w: str) -> int:
+    """32-bit word hash = first 8 hex chars of md5 — chosen over crc32
+    because DuckDB (the correctness oracle) can reproduce it exactly:
+    ``cast(('0x' || substr(md5(w),1,8)) as bigint)``."""
+    return int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+
 def _rolling_hash_tokens(words: list[str]) -> int:
     """Winnowing-style fingerprint: min of rolling 4-gram hashes
-    (Rabin-Karp over crc32 word hashes); deterministic 63-bit."""
+    (Rabin-Karp over md5-prefix word hashes); deterministic 61-bit."""
     if not words:
         return 0
-    hs = [zlib.crc32(w.encode()) for w in words]
+    hs = [_word_hash(w) for w in words]
     B, M = 1_000_003, (1 << 61) - 1
     if len(hs) < 4:
         acc = 0

@@ -1120,7 +1120,35 @@ QUERIES.extend(
                       ELSE 'unk' END AS pred_lang
                FROM c""",
         ),
-        QueryDef("fingerprint_documents", _q_fingerprint, None),
+        QueryDef(
+            "fingerprint_documents",
+            _q_fingerprint,
+            # exact twin of text._rolling_hash_tokens: md5-prefix word
+            # hashes, Rabin-Karp 4-gram windows mod 2^61-1 (HUGEINT
+            # keeps every product exact), winnowing min; <4 words fold
+            # left (list_reduce from h1 == fold from 0)
+            r"""WITH w AS (
+                 SELECT doc_id,
+                   CASE WHEN length(trim(coalesce(text,''))) = 0
+                        THEN cast([] as varchar[])
+                        ELSE string_split_regex(trim(text), '\s+') END AS ws
+                 FROM documents
+               ), h AS (
+                 SELECT doc_id, list_transform(ws, x ->
+                   cast(cast(('0x' || substr(md5(x),1,8)) as bigint) as hugeint)) AS hs
+                 FROM w
+               )
+               SELECT doc_id,
+                 cast(CASE WHEN len(hs) = 0 THEN 0
+                   WHEN len(hs) < 4 THEN list_reduce(hs,
+                     (a,b) -> (a*1000003 + b) % 2305843009213693951)
+                   ELSE list_min(list_transform(range(1, len(hs)-2), i ->
+                      (((((hs[i]*1000003 + hs[i+1]) % 2305843009213693951)*1000003
+                         + hs[i+2]) % 2305843009213693951)*1000003
+                         + hs[i+3]) % 2305843009213693951))
+                 END as bigint) AS fingerprint
+               FROM h""",
+        ),
         QueryDef(
             "dedup_exact_documents",
             _q_dedup_exact,
