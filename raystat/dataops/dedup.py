@@ -423,19 +423,54 @@ def exact_dup_pairs(
 # -- simhash ---------------------------------------------------------------
 
 
+def _shingle_strings(text: str, k: int = 3) -> set[str]:
+    """Word k-shingle STRINGS (the same shingling as shingle_set,
+    pre-hash) — the form DuckDB can reproduce with string_split +
+    list_transform."""
+    words = (text or "").split()
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def _doc_shingle_md5_arrays(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened md5-prefix-64 shingle hashes + row offsets.  md5 (not
+    crc32+mix) so the DuckDB oracle computes the IDENTICAL feature
+    hash: cast('0x' || substr(md5(s),1,16) as ubigint).  Empty docs
+    pad with one 0 hash (keeps reduceat offsets valid; yields
+    simhash 0, matching the oracle's coalesce)."""
+    sets = [_shingle_strings(t) for t in texts]
+    counts = np.array([max(len(s), 1) for s in sets], dtype=np.int64)
+    flat = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+            for st in sets
+            for s in (st if st else ("",))
+        ),
+        dtype=np.uint64,
+        count=int(counts.sum()),
+    )
+    # the pad for empty docs is hash 0, not md5("")
+    if flat.size:
+        empty = np.array([len(s) == 0 for s in sets])
+        if empty.any():
+            offs = np.zeros(len(sets), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
+            flat[offs[empty]] = 0
+    offsets = np.zeros(len(sets), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    return flat, offsets
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """64-bit SimHash per doc over word shingles (bitplane sums via
-    add.reduceat)."""
+    add.reduceat); feature hash is the md5 prefix so the pair set has
+    an exact DuckDB twin (SIMHASH_PAIRS_SQL in pipelines/queries.py)."""
     texts = batch[text_col].to_pylist()
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if not texts:
         return pa.table({"doc_id": pa.array([], pa.int64()), "simhash": pa.array([], pa.int64())})
-    flat, offsets = _doc_shingle_arrays(texts)
-    # spread crc32 into 64 bits with a splitmix-style mix
-    h = flat.astype(np.uint64)
-    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    h = h ^ (h >> np.uint64(31))
+    h, offsets = _doc_shingle_md5_arrays(texts)
     sims = np.zeros(len(texts), dtype=np.uint64)
     counts = np.diff(np.append(offsets, len(h)))
     for b in range(64):

@@ -829,6 +829,50 @@ MINHASH_PAIRS_SQL = """WITH w AS (
           END) >= 0.8"""
 
 
+# full SQL twin of simhash_pairs: identical 64-bit SimHash per doc
+# (md5-prefix shingle hashes, bitplane majority), then every (a < b)
+# pair with Hamming distance <= 3.  The band-LSH in the Ray path is
+# lossless here by pigeonhole: 4 disjoint 16-bit bands and <= 3
+# differing bits leave at least one band identical, so candidate
+# recall is exactly 1 and the verified pair set IS the Hamming ball.
+# sum() runs in HUGEINT (sum over UHUGEINT degrades to DOUBLE in
+# DuckDB 1.0 and corrupts bit 63).
+SIMHASH_PAIRS_SQL = r"""WITH w AS (
+     SELECT doc_id,
+       CASE WHEN length(trim(coalesce(text,''))) = 0 THEN cast([] as varchar[])
+            ELSE string_split_regex(trim(text), '\s+') END AS ws
+     FROM documents
+   ), sh AS (
+     SELECT doc_id,
+       CASE WHEN len(ws) = 0 THEN cast([] as varchar[])
+            WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(ws)-1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       END AS s
+     FROM w
+   ), f AS (
+     SELECT doc_id, cast(('0x' || substr(md5(u.sg),1,16)) as ubigint) AS h
+     FROM sh, unnest(sh.s) AS u(sg)
+   ), bits AS (
+     SELECT doc_id, r.b AS b,
+            sum(cast((h >> r.b) & 1 as bigint)) AS ones, count(*) AS cnt
+     FROM f CROSS JOIN (SELECT unnest(range(0,64)) AS b) r
+     GROUP BY doc_id, r.b
+   ), sim AS (
+     SELECT w.doc_id, coalesce(s.sim, cast(0 as ubigint)) AS u
+     FROM w LEFT JOIN (
+       SELECT doc_id,
+              cast(sum(CASE WHEN 2*ones > cnt
+                            THEN cast(cast(1 as ubigint) << b as hugeint)
+                            ELSE cast(0 as hugeint) END) as ubigint) AS sim
+       FROM bits GROUP BY doc_id) s USING (doc_id)
+   )
+   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          cast(bit_count(xor(a.u, b.u)) as bigint) AS hamming
+   FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+   WHERE bit_count(xor(a.u, b.u)) <= 3"""
+
+
 def _q_near_dedup(sf_dir):
     """Corpus-level near-dedup (the END PRODUCT of MinHash dedup):
     keep the min-id document of every connected component of the
@@ -1176,7 +1220,7 @@ QUERIES.extend(
                 SELECT doc_id FROM documents
                 WHERE doc_id NOT IN (SELECT node FROM comp WHERE mn < node)""",
         ),
-        QueryDef("simhash_dedup_pairs", _q_simhash_pairs, None),
+        QueryDef("simhash_dedup_pairs", _q_simhash_pairs, SIMHASH_PAIRS_SQL),
         QueryDef(
             "minhash_dup_containment",
             _q_minhash_containment,
