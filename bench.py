@@ -272,6 +272,11 @@ def main() -> None:
     t0 = time.time()
     minhash_lsh_pairs(docs, threshold=0.8)
     queries["minhash_dedup_pairs"] = round(time.time() - t0, 3)
+    from raystat.dataops.dedup import simhash_pairs
+
+    t0 = time.time()
+    simhash_pairs(docs, max_hamming=3)
+    queries["simhash_dedup_pairs"] = round(time.time() - t0, 3)
 
     import numpy as np
     import pyarrow.parquet as _pq
