@@ -82,6 +82,53 @@ def test_simhash_finds_exact_dups(docs_ds):
     assert ham.loc[(0, 35)] == 0
 
 
+def test_simhash_pairs_equal_hamming_ball(ray_session):
+    """With 4 disjoint 16-bit bands and max_hamming=3, the band LSH is
+    lossless by pigeonhole — the distributed pair set must EQUAL the
+    brute-force Hamming<=3 ball (ids AND distances), with no band or
+    routing plumbing dropping or duplicating a pair."""
+    import ray.data as rd
+
+    from raystat.dataops.dedup import simhash_batch, simhash_pairs
+
+    rng = np.random.default_rng(7)
+    texts, ids = [], []
+    for i in range(200):
+        words = [f"w{rng.integers(0, 300)}" for _ in range(40)]
+        texts.append(" ".join(words))
+        ids.append(i)
+    # plant exact dups and one-word perturbations (near-zero hamming)
+    for a, b in [(0, 150), (1, 151), (2, 152)]:
+        texts[b] = texts[a]
+    for a, b in [(3, 153), (4, 154)]:
+        w = texts[a].split()
+        w[17] = "CHANGED"
+        texts[b] = " ".join(w)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = simhash_pairs(rd.from_arrow(t).repartition(6), max_hamming=3)
+    got_set = {
+        (int(a), int(b)): int(h)
+        for a, b, h in zip(got["doc_a"], got["doc_b"], got["hamming"])
+    }
+    # brute force over the same simhashes
+    s = simhash_batch(t)["simhash"].to_numpy().astype(np.uint64)
+    bytes_ = s.view(np.uint8).reshape(len(s), 8)
+    bits = np.unpackbits(bytes_, axis=1)  # (n, 64)
+    ham = (bits[:, None, :] != bits[None, :, :]).sum(axis=2)
+    exp_set = {}
+    for i in range(len(s)):
+        for j in range(i + 1, len(s)):
+            if ham[i, j] <= 3:
+                exp_set[(i, j)] = int(ham[i, j])
+    assert (0, 150) in exp_set  # planted dups really are in the ball
+    assert got_set == exp_set
+
+
 def test_near_dedup_transitive_components(ray_session):
     """near_dedup keeps ONE doc per connected component: a~b and b~c
     put a,b,c in one component even when a!~c (transitivity via
