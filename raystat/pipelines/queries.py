@@ -1310,6 +1310,58 @@ QUERIES.extend(
 )
 
 
+def _q_clean_corpus_stats(sf_dir):
+    """Composed training-data pipeline — the end-to-end shape a 100 TB
+    corpus-prep job runs: exact-dedup survivors -> vectorized quality
+    filter (score >= 0.35) -> per-source token-length moments.  One
+    streaming Ray pipeline: dedup's anti-join, the enrich+filter stage
+    and the partial aggregation all fuse over zero-copy Arrow batches;
+    only (source, n_tok) survives into the shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raystat.dataops.dedup import exact_dedup
+    from raystat.dataops.text import quality_score_batch
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(batch)  # row-aligned with batch
+        mask = pa.array(q["score"].to_numpy(zero_copy_only=False) >= 0.35)
+        return pa.table(
+            {
+                "source": pc.filter(batch["source"], mask),
+                "n_tok": pc.filter(q["n_tok"], mask),
+            }
+        )
+
+    ds = exact_dedup(_docs(sf_dir)).map_batches(enrich, batch_format="pyarrow")
+    return grouped_moments(
+        ds,
+        {"wavg": "weighted_average", "wstd": "stddev_weighted",
+         "skew": "skewness", "kurt": "kurtosis"},
+        ["source"], value="n_tok", weight="n_tok",
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "clean_corpus_stats",
+        _q_clean_corpus_stats,
+        f"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+            d AS (SELECT dd.* FROM documents dd JOIN surv USING (doc_id)),
+            q AS (SELECT source, {NTOKD} AS n_tok,
+                    {NTOKD}/({NTOKD}+100.0) - {PUNCT_RATIO_SQL} + {STOP_RATIO_SQL} AS score
+                  FROM d),
+            f AS (SELECT source, n_tok FROM q WHERE score >= 0.35)
+            SELECT source,
+              {sql_wavg('n_tok', 'n_tok')} AS wavg,
+              {sql_wstd('n_tok', 'n_tok')} AS wstd,
+              {sql_skew('n_tok')} AS skew,
+              {sql_kurt('n_tok')} AS kurt
+            FROM f GROUP BY source""",
+    )
+)
+
+
 def queries() -> dict[str, Callable[[str], object]]:
     return {q.name: q.fn for q in QUERIES}
 
