@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--passthrough", action="store_true", help="exact per-row passthrough sink")
     p.add_argument("--emit-changes", action="store_true", help="EMIT CHANGES changelog sink")
     p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    p.add_argument(
+        "--format", choices=["parquet", "json"], default="parquet",
+        help="input part format (json = newline-delimited, the reference's value_format)",
+    )
     p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone only)")
     return p
 
@@ -63,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         token_stats=args.token_stats,
         passthrough=args.passthrough,
         emit_changes=args.emit_changes,
+        file_format=args.format,
     )
     drv = StreamDriver(args.input, args.out, cfg)
     metrics = drv.run(resume=args.resume)

@@ -45,7 +45,14 @@ SOURCES = [
 _SOURCE_W = 1.0 / np.arange(1, len(SOURCES) + 1) ** 1.2
 _SOURCE_P = _SOURCE_W / _SOURCE_W.sum()
 
-__all__ = ["SOURCES", "VOCAB", "synth_token_block", "write_stream_fixture", "metadata_rows"]
+__all__ = [
+    "SOURCES",
+    "VOCAB",
+    "synth_token_block",
+    "write_stream_fixture",
+    "jsonl_stream_from_parquet",
+    "metadata_rows",
+]
 
 
 def synth_token_block(
@@ -156,6 +163,30 @@ def write_stream_fixture(
         json.dump(params, f)
     os.replace(tmp_root, out_dir)
     return params
+
+
+def jsonl_stream_from_parquet(parquet_root: str, out_root: str) -> str:
+    """Re-encode an arrival-partitioned parquet stream fixture as
+    newline-delimited JSON (one ``part-*.jsonl`` per parquet part) —
+    the reference's ``value_format='json'`` Kafka topics
+    (README.md:143, AllUdafIT.java:564) materialized per arrival dir.
+    Idempotent: skips dirs whose jsonl parts already exist."""
+    import glob as _glob
+
+    for pdir in sorted(_glob.glob(os.path.join(parquet_root, "arrival=*"))):
+        d = os.path.join(out_root, os.path.basename(pdir))
+        os.makedirs(d, exist_ok=True)
+        for pf in sorted(_glob.glob(os.path.join(pdir, "*.parquet"))):
+            jf = os.path.join(
+                d, os.path.basename(pf).replace(".parquet", ".jsonl")
+            )
+            if os.path.exists(jf):
+                continue
+            pq.read_table(pf).to_pandas().to_json(
+                jf + ".tmp", orient="records", lines=True
+            )
+            os.replace(jf + ".tmp", jf)
+    return out_root
 
 
 def metadata_rows(n_epochs: int, seed: int = 42) -> pa.Table:

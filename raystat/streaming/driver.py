@@ -85,8 +85,13 @@ class StreamConfig:
     token_stats: bool = False  # also compute per-token-id moment stats
     #   (value = every token id in `tokens`); all window modes
     tokens_col: str = "tokens"
+    file_format: str = "parquet"  # or "json": newline-delimited JSON
+    #   parts (the reference's Kafka topics are value_format='json';
+    #   README.md:143, AllUdafIT.java:564) re-encoded per arrival dir
 
     def __post_init__(self) -> None:
+        if self.file_format not in ("parquet", "json"):
+            raise ValueError(f"file_format {self.file_format!r}: parquet or json")
         # ksqlDB HOPPING requires advance <= size; the row-level late
         # predicate (k_last*step + size > watermark) also assumes every
         # hop-aligned window actually covers its row, which only holds
@@ -96,6 +101,27 @@ class StreamConfig:
                 f"hop_s ({self.hop_s}) must be <= window_size_s "
                 f"({self.window_size_s}) — ksqlDB hopping semantics"
             )
+
+
+_CANON_TYPES = {
+    "doc_id": pa.string(),
+    "tokens": pa.list_(pa.int32()),
+    "n_tok": pa.int32(),
+    "source": pa.string(),
+}
+
+
+def _canonicalize_json_batch(batch: pa.Table) -> pa.Table:
+    """Cast a JSON-read batch to the canonical stream schema (JSON
+    integers parse as int64; tokens must be list<int32> so the
+    passthrough sink's token arrays are byte-identical to the parquet
+    path).  Unknown columns pass through untouched."""
+    cols = []
+    for name in batch.schema.names:
+        col = batch[name]
+        want = _CANON_TYPES.get(name)
+        cols.append(col.cast(want) if want is not None and col.type != want else col)
+    return pa.table(dict(zip(batch.schema.names, cols)))
 
 
 def _row_token_sums(batch: pa.Table, tokens_col: str, rows_in: int) -> dict[str, np.ndarray]:
@@ -579,11 +605,24 @@ class StreamDriver:
     def _epoch_dataset(self, epoch: int):
         import ray.data as rd
 
+        ext = "parquet" if self.cfg.file_format == "parquet" else "jsonl"
         files = sorted(
-            glob.glob(os.path.join(self.input_dir, f"arrival={epoch}", "*.parquet"))
+            glob.glob(os.path.join(self.input_dir, f"arrival={epoch}", f"*.{ext}"))
         )
         if not files:
             return None
+        if self.cfg.file_format == "json":
+            # JSONL ingest (the reference's value_format='json'): read,
+            # then cast to the canonical Arrow schema so every
+            # downstream stage — including exact token-array
+            # passthrough — sees bit-identical types to the parquet
+            # path (JSON integers arrive as int64).  The cast fuses
+            # with the read and the router.
+            total_bytes = sum(os.path.getsize(f) for f in files)
+            nblocks = min(max(1, total_bytes // (8 * 1024 * 1024)), len(files))
+            return rd.read_json(files, override_num_blocks=int(nblocks)).map_batches(
+                _canonicalize_json_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
         # Bytes-aware block count, CAPPED AT len(files): the default
         # planner splits tiny epochs into ctx.read_op_min_num_blocks
         # (200) slivers (per-task overhead dominates), while requesting

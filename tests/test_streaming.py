@@ -186,6 +186,40 @@ def test_join_quality_values(run_out):
     assert not res.duplicated(["source", "window_start"]).any()
 
 
+def test_json_ingest_equals_parquet(ray_session, fixture_dir, run_out):
+    """file_format='json' (the reference's value_format) must produce
+    byte-identical results to the parquet path: same agg rows AND
+    exact passthrough token-array equality (canonical int32 cast)."""
+    from raystat.fixtures import jsonl_stream_from_parquet
+
+    jdir = jsonl_stream_from_parquet(fixture_dir, FIXTURE + "_jsonl")
+    drv_p, _, _ = run_out
+    out_j = "/tmp/rs_pytest_json"
+    shutil.rmtree(out_j, ignore_errors=True)
+    cfg = make_cfg(file_format="json")
+    drv_j = StreamDriver(jdir, out_j, cfg, metadata=metadata_rows(N_EPOCHS))
+    drv_j.run()
+    a = drv_p.result_table().to_pandas().sort_values(
+        ["source", "window_start"], ignore_index=True
+    )
+    b = drv_j.result_table().to_pandas().sort_values(
+        ["source", "window_start"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    # passthrough: same rows, same token arrays, same Arrow types
+    def pt(out):
+        fs = sorted(glob.glob(os.path.join(out, "passthrough", "epoch=*", "*.parquet")))
+        t = pa.concat_tables([pq.read_table(f) for f in fs])
+        return t.to_pandas().sort_values("doc_id", ignore_index=True), t.schema
+    pdf, ps = pt("/tmp/rs_pytest_out")
+    jdf, js = pt(out_j)
+    assert ps.field("tokens").type == js.field("tokens").type
+    assert len(pdf) == len(jdf)
+    assert (pdf["doc_id"] == jdf["doc_id"]).all()
+    for x, y in zip(pdf["tokens"], jdf["tokens"]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_resume_equals_uninterrupted(ray_session, fixture_dir, run_out):
     drv_full, _, _ = run_out
     out2 = "/tmp/rs_pytest_resume"
