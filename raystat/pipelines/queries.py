@@ -1342,6 +1342,46 @@ def _q_clean_corpus_stats(sf_dir):
     )
 
 
+def _q_token_vocab(sf_dir):
+    """Corpus vocabulary histogram (token id -> total occurrences).
+    Per-batch np.bincount partials collapse each batch to at most
+    |VOCAB| (token, cnt) rows BEFORE the shuffle — the exchange volume
+    is bounded by vocabulary size x #batches, independent of corpus
+    row count; the final groupby sums the tiny partials."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from raystat.pipelines.tokens import tokenize_documents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(batch["tokens"]).to_numpy(zero_copy_only=False)
+        c = np.bincount(flat) if flat.size else np.zeros(0, dtype=np.int64)
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {"token": pa.array(nz.astype(np.int64)), "n": pa.array(c[nz].astype(np.int64))}
+        )
+
+    return (
+        tokenize_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "token_vocab_documents",
+        _q_token_vocab,
+        f"""WITH f AS ({TOK_FLAT_SQL})
+            SELECT cast(token as bigint) AS token, count(*) AS n
+            FROM f GROUP BY token""",
+    )
+)
+
+
 QUERIES.append(
     QueryDef(
         "clean_corpus_stats",
