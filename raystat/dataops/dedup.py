@@ -64,7 +64,7 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(_md5_64(batch[text_col].to_pylist())))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", n_parts: int = 64):
     """Keep the min-id row per identical text.
 
     Scale shape: text never enters a shuffle.  Pass 1 shuffles ONLY
@@ -84,7 +84,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         h = _md5_64(batch[text_col].to_pylist())
         return pa.table(
             {"content_hash": pa.array(h), "_id": pa.array(ids),
-             "part": pa.array(bucket_partition(h))}
+             "part": pa.array(bucket_partition(h, n_parts=n_parts))}
         )
 
     def part_losers(g: pd.DataFrame) -> pd.DataFrame:
@@ -251,6 +251,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     bucket_cap: int = 512,
     metrics: dict | None = None,
+    n_parts: int = 64,
 ):
     """Near-duplicate pairs by MinHash-LSH, verified with exact
     shingle Jaccard >= threshold.  Returns a pandas DataFrame
@@ -296,7 +297,7 @@ def minhash_lsh_pairs(
         # partition BUCKETS (not one Python call per bucket): buckets
         # sharing a partition are swept vectorized in part_pairs
         part = bucket_partition(
-            t["band_hash"].to_numpy(), t["band_id"].to_numpy()
+            t["band_hash"].to_numpy(), t["band_id"].to_numpy(), n_parts=n_parts
         )
         return t.append_column("part", pa.array(part))
 
@@ -372,7 +373,8 @@ def minhash_lsh_pairs(
 
 
 def exact_dup_pairs(
-    ds, text_col: str = "text", id_col: str = "doc_id", bucket_cap: int = 4096
+    ds, text_col: str = "text", id_col: str = "doc_id", bucket_cap: int = 4096,
+    n_parts: int = 64,
 ) -> pd.DataFrame:
     """All (a < b) pairs of EXACTLY identical texts — the containment
     ground truth for the LSH paths (every exact-dup pair must appear in
@@ -390,7 +392,7 @@ def exact_dup_pairs(
         h = _md5_64(batch[text_col].to_pylist())
         return pa.table(
             {"content_hash": pa.array(h), "doc_id": pa.array(ids),
-             "part": pa.array(bucket_partition(h))}
+             "part": pa.array(bucket_partition(h, n_parts=n_parts))}
         )
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -487,6 +489,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bucket_cap: int = 512,
     metrics: dict | None = None,
+    n_parts: int = 64,
 ):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, candidates
     via 4x16-bit band collisions (guaranteed to catch distance <= 3
@@ -515,7 +518,7 @@ def simhash_pairs(
                         "doc_id": pa.array(ids),
                         "simhash": pa.array(s.astype(np.int64)),
                         "part": pa.array(
-                            bucket_partition(bh, np.full(len(ids), b, dtype=np.int64))
+                            bucket_partition(bh, np.full(len(ids), b, dtype=np.int64), n_parts=n_parts)
                         ),
                     }
                 )

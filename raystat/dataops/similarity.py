@@ -328,6 +328,7 @@ def embedding_lsh_pairs(
     seed: int = 9,
     bucket_cap: int = 512,
     metrics: dict | None = None,
+    n_parts: int = 64,
 ):
     """Scale path: random-hyperplane LSH.  (table_id, bucket, vec_id)
     rows are the only bucketing shuffle payload (24 B per (vector,
@@ -371,7 +372,8 @@ def embedding_lsh_pairs(
                         "vec_id": pa.array(ids),
                         "part": pa.array(
                             bucket_partition(
-                                h, np.full(len(ids), t, dtype=np.int64)
+                                h, np.full(len(ids), t, dtype=np.int64),
+                                n_parts=n_parts,
                             )
                         ),
                     }
