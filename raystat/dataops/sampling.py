@@ -1,0 +1,69 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+Training pipelines sample corpora and carve train/val/test splits; at
+100 TB both must be (a) deterministic across reruns and cluster sizes
+(no RNG state, no coordination), (b) streaming (a pure row predicate
+inside ``map_batches`` — no shuffle, no materialization), and (c)
+reproducible by the SQL oracle.  The assignment hash is the
+splitmix64 finalizer of the integer doc id (``pairs.splitmix64``),
+which DuckDB replicates exactly in UHUGEINT mod-2^64 arithmetic
+(``SPLITMIX_Z_CTE_SQL`` in pipelines/queries.py).
+
+Analog of the reference's per-row stream predicates (ksqlDB WHERE
+clauses over a stream); the hash-mod idiom is the standard
+deterministic sampler for distributed corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raystat.dataops.pairs import splitmix64
+
+__all__ = ["hash_pct", "sample_by_hash", "assign_split_batch", "split_dataset"]
+
+# (name, upper-bound pct) cumulative: h<80 train, h<90 val, else test
+DEFAULT_SPLITS = (("train", 80), ("val", 90), ("test", 100))
+
+
+def hash_pct(ids: np.ndarray) -> np.ndarray:
+    """Stable per-id percentile bucket 0..99 (splitmix64 mod 100)."""
+    return (splitmix64(ids.astype(np.uint64)) % np.uint64(100)).astype(np.int64)
+
+
+def sample_by_hash(ds, pct: int, id_col: str = "doc_id"):
+    """Keep rows whose hash percentile < pct — a deterministic ~pct%
+    sample, stable under reruns, repartitioning and cluster size.
+    Pure streaming filter: no shuffle, nothing materializes."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(hash_pct(ids) < pct))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def assign_split_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    splits: tuple = DEFAULT_SPLITS,
+) -> pa.Table:
+    """Append a ``split`` column (train/val/test by hash percentile)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = hash_pct(ids)
+    out = np.empty(len(h), dtype=object)
+    lo = 0
+    for name, hi in splits:
+        out[(h >= lo) & (h < hi)] = name
+        lo = hi
+    return batch.append_column("split", pa.array(out, pa.string()))
+
+
+def split_dataset(ds, id_col: str = "doc_id", splits: tuple = DEFAULT_SPLITS):
+    """Dataset with the ``split`` column appended (streaming)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return assign_split_batch(batch, id_col, splits)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

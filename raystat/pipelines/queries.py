@@ -1342,6 +1342,60 @@ def _q_clean_corpus_stats(sf_dir):
     )
 
 
+# splitmix64(doc_id) % 100 as a CTE chain — DuckDB replicates the
+# engine's sampling hash exactly (UHUGEINT keeps the mod-2^64
+# multiplies exact; xor/shift run on UBIGINT)
+_SM_MOD = "18446744073709551616"
+SPLITMIX_PCT_CTE = f"""sm0 AS (
+     SELECT doc_id, source,
+       cast((cast(cast(doc_id as bigint) as uhugeint) + 11400714819323198485)
+            % {_SM_MOD} as ubigint) AS z
+     FROM documents
+   ), sm1 AS (SELECT doc_id, source, xor(z, z >> 30) AS z FROM sm0
+   ), sm2 AS (SELECT doc_id, source,
+       cast((cast(z as uhugeint) * 13787848793156543929) % {_SM_MOD} as ubigint) AS z
+     FROM sm1
+   ), sm3 AS (SELECT doc_id, source, xor(z, z >> 27) AS z FROM sm2
+   ), sm4 AS (SELECT doc_id, source,
+       cast((cast(z as uhugeint) * 10723151780598845931) % {_SM_MOD} as ubigint) AS z
+     FROM sm3
+   ), smh AS (SELECT doc_id, source,
+       cast(xor(z, z >> 31) % 100 as bigint) AS h
+     FROM sm4)"""
+
+
+def _q_sample_documents(sf_dir):
+    from raystat.dataops.sampling import sample_by_hash
+
+    return sample_by_hash(_docs(sf_dir), pct=20).select_columns(["doc_id", "source"])
+
+
+def _q_split_documents(sf_dir):
+    from raystat.dataops.sampling import split_dataset
+
+    return split_dataset(_docs(sf_dir)).select_columns(["doc_id", "split"])
+
+
+QUERIES.extend(
+    [
+        QueryDef(
+            "sample_documents",
+            _q_sample_documents,
+            f"WITH {SPLITMIX_PCT_CTE} SELECT doc_id, source FROM smh WHERE h < 20",
+        ),
+        QueryDef(
+            "split_documents",
+            _q_split_documents,
+            f"""WITH {SPLITMIX_PCT_CTE}
+                SELECT doc_id,
+                  CASE WHEN h < 80 THEN 'train'
+                       WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+                FROM smh""",
+        ),
+    ]
+)
+
+
 def _q_token_vocab(sf_dir):
     """Corpus vocabulary histogram (token id -> total occurrences).
     Per-batch np.bincount partials collapse each batch to at most
