@@ -13,6 +13,8 @@ import pyarrow as pa
 
 __all__ = [
     "token_count_batch",
+    "bpe_token_count_batch",
+    "BPE_PATTERN",
     "quality_score_batch",
     "lang_id_batch",
     "fingerprint_batch",
@@ -36,6 +38,23 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
     n = s.str.count(r"\S+").astype(np.int64)
     return pa.table({"doc_id": batch["doc_id"], "n_tok": pa.array(n)})
+
+
+# BPE-ish sub-word tokenization (GPT-2-flavoured: contractions, letter
+# runs, digit runs, punctuation runs, whitespace runs) — written
+# without lookahead or unicode classes so Python re and DuckDB's RE2
+# match IDENTICALLY (the SQL twin is regexp_extract_all of this
+# pattern); zero-width matches are impossible so count == len(findall)
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+_BPE = re.compile(BPE_PATTERN)
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe): BPE-ish regex token count — the sub-word-level
+    twin of the whitespace counter (both mandated counters)."""
+    s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
+    n = s.str.count(_BPE).astype(np.int64)
+    return pa.table({"doc_id": batch["doc_id"], "n_bpe": pa.array(n)})
 
 
 def quality_score_batch(batch: pa.Table) -> pa.Table:

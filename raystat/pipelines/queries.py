@@ -782,6 +782,12 @@ def _q_fingerprint(sf_dir):
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _q_bpe_token_count(sf_dir):
+    from raystat.dataops.text import bpe_token_count_batch
+
+    return _docs(sf_dir).map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir):
     from raystat.dataops.dedup import exact_dedup
 
@@ -1133,6 +1139,15 @@ QUERIES.extend(
             "token_count_documents",
             _q_token_count,
             f"SELECT doc_id, cast({N_TOK_SQL} as bigint) AS n_tok FROM documents",
+        ),
+        QueryDef(
+            "bpe_token_count_documents",
+            _q_bpe_token_count,
+            # identical RE2/re pattern (no lookahead, no unicode
+            # classes); single quotes doubled for the SQL literal
+            "SELECT doc_id, cast(len(regexp_extract_all(coalesce(text,''), "
+            "'''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"
+            ")) as bigint) AS n_bpe FROM documents",
         ),
         QueryDef(
             "quality_score_documents",
