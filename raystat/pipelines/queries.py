@@ -1221,7 +1221,9 @@ QUERIES.extend(
             # exact shingle-Jaccard >= 0.8 pair graph; components via a
             # recursive transitive-closure CTE (a node is a loser iff it
             # can reach a smaller id)
-            f"""WITH RECURSIVE pr AS ({MINHASH_PAIRS_SQL}),
+            # MATERIALIZED: DuckDB otherwise inlines pr into both edge
+            # directions and runs the O(n^2) Jaccard join twice (3.4x)
+            f"""WITH RECURSIVE pr AS MATERIALIZED ({MINHASH_PAIRS_SQL}),
                 edges AS (
                   SELECT doc_a AS a, doc_b AS b FROM pr
                   UNION SELECT doc_b, doc_a FROM pr
