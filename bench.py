@@ -156,8 +156,9 @@ def main() -> None:
     headline_only = os.environ.get("RAYSTAT_BENCH_HEADLINE_ONLY") == "1"
 
     # -- headline: streaming windowed token statistics ----------------------
-    # min of 2 full runs: host scheduling noise reaches 3-4x between
-    # identical runs (BASELINE.md); min is the noise-robust estimator.
+    # min of 3 full runs (RAYSTAT_BENCH_REPEATS): host scheduling noise
+    # reaches 3-4x between identical runs (BASELINE.md); min is the
+    # noise-robust estimator.
     cfg = StreamConfig(
         window_size_s=3600,
         allowed_lateness_s=epoch_len_us(N_EPOCHS) // 1_000_000,
@@ -168,7 +169,8 @@ def main() -> None:
     )
     headline_samples = []
     epoch_secs = tail_sec = None
-    for _ in range(1 if headline_only else 2):  # scaling mode repeats externally
+    n_rep = int(os.environ.get("RAYSTAT_BENCH_REPEATS", "3"))
+    for _ in range(1 if headline_only else n_rep):  # scaling mode repeats externally
         out = tempfile.mkdtemp(prefix="raystat_bench_")
         drv = StreamDriver(fix, out, cfg, metadata=metadata_rows(N_EPOCHS))
         drv.prepare()  # actor-pool provisioning = setup, untimed
