@@ -1359,6 +1359,63 @@ def _q_clean_corpus_stats(sf_dir):
     )
 
 
+def _q_customer_stats_by_region(sf_dir):
+    """Broadcast join: the nation->region dimension map (tiny) ships
+    once via ``ray.put`` and resolves inside ``map_batches`` — the
+    fact table (customer) never shuffles for the join, only the
+    per-(region, salt) partial moment structs do.  This is the
+    scale-correct alternative to a shuffle join whenever one side fits
+    in memory (here: 25 nations x 5 regions; at 100 TB, any dimension
+    table of millions of rows still broadcasts)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rmap = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    lut = np.full(int(rmap["n_nationkey"].max()) + 1, "", dtype=object)
+    lut[rmap["n_nationkey"].to_numpy()] = rmap["r_name"].to_numpy()
+    ref = ray.put(lut)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lu = ray.get(ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_name": pa.array(lu[nk], pa.string()),
+                "c_acctbal": batch["c_acctbal"],
+            }
+        )
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+    return grouped_moments(
+        ds,
+        {"avg_bal": "weighted_average", "std_bal": "stddev_weighted",
+         "skew_bal": "skewness", "kurt_bal": "kurtosis"},
+        ["r_name"], value="c_acctbal", weight="c_acctbal",
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "customer_stats_by_region",
+        _q_customer_stats_by_region,
+        f"""SELECT r.r_name,
+              {sql_wavg('c_acctbal', 'c_acctbal')} AS avg_bal,
+              {sql_wstd('c_acctbal', 'c_acctbal')} AS std_bal,
+              {sql_skew('c_acctbal')} AS skew_bal,
+              {sql_kurt('c_acctbal')} AS kurt_bal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name""",
+    )
+)
+
+
 # splitmix64(doc_id) % 100 as a CTE chain — DuckDB replicates the
 # engine's sampling hash exactly (UHUGEINT keeps the mod-2^64
 # multiplies exact; xor/shift run on UBIGINT)
