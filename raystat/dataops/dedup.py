@@ -68,13 +68,13 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", n_parts: int
     """Keep the min-id row per identical text.
 
     Scale shape: text never enters a shuffle.  Pass 1 shuffles ONLY
-    (content_hash, id) pairs — with a per-batch combiner that keeps the
-    batch-local min id per hash and diverts batch-local duplicates
-    straight to the LOSER set — then a ``groupby(hash)`` emits the ids
-    that lose to the global min.  The loser set is O(#duplicate rows)
-    (≪ corpus in any dedup regime), so it broadcasts via one
-    ``ray.put``; pass 2 streams the input again and anti-joins it.
-    Hash = 64-bit md5 prefix (uniform, no skew)."""
+    (content_hash, id, part) rows; a ``groupby(part)`` sweeps each
+    hash partition's groups vectorized (sort by hash, first-per-hash
+    keeps) and emits the ids that lose to the global min.  The loser
+    set is O(#duplicate rows) (≪ corpus in any dedup regime), so it
+    broadcasts via one ``ray.put``; pass 2 streams the input again and
+    anti-joins it.  Hash = 64-bit md5 prefix (uniform, no skew);
+    size ``n_parts`` per pairs.bucket_partition's rule."""
     import ray
 
     from raystat.dataops.pairs import bucket_partition
@@ -175,10 +175,13 @@ def near_dedup(ds, pairs: pd.DataFrame, id_col: str = "doc_id"):
 
 
 def shingle_set(text: str, k: int = 3) -> set[int]:
-    """Word k-shingles hashed to int (crc of joined words)."""
+    """Word k-shingles hashed to int (crc of joined words); ASCII
+    token model (text.WS_RE) shared with the SQL twins."""
     import zlib
 
-    words = (text or "").split()
+    from raystat.dataops.text import WS_RE
+
+    words = WS_RE.findall(text or "")
     if len(words) < k:
         return {zlib.crc32(" ".join(words).encode())} if words else set()
     return {
@@ -429,7 +432,9 @@ def _shingle_strings(text: str, k: int = 3) -> set[str]:
     """Word k-shingle STRINGS (the same shingling as shingle_set,
     pre-hash) — the form DuckDB can reproduce with string_split +
     list_transform."""
-    words = (text or "").split()
+    from raystat.dataops.text import WS_RE
+
+    words = WS_RE.findall(text or "")
     if len(words) < k:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
@@ -452,15 +457,13 @@ def _doc_shingle_md5_arrays(texts: list) -> tuple[np.ndarray, np.ndarray]:
         dtype=np.uint64,
         count=int(counts.sum()),
     )
+    offsets = np.zeros(len(sets), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
     # the pad for empty docs is hash 0, not md5("")
     if flat.size:
         empty = np.array([len(s) == 0 for s in sets])
         if empty.any():
-            offs = np.zeros(len(sets), dtype=np.int64)
-            np.cumsum(counts[:-1], out=offs[1:])
-            flat[offs[empty]] = 0
-    offsets = np.zeros(len(sets), dtype=np.int64)
-    np.cumsum(counts[:-1], out=offsets[1:])
+            flat[offsets[empty]] = 0
     return flat, offsets
 
 

@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = [
+    "WS_CLASS",
+    "WS_RE",
     "token_count_batch",
     "bpe_token_count_batch",
     "BPE_PATTERN",
@@ -21,31 +23,45 @@ __all__ = [
     "STOPWORDS",
 ]
 
-_WS = re.compile(r"\S+")
+# THE token model: explicit ASCII-whitespace class shared VERBATIM
+# with every DuckDB twin (queries.SPLIT_WS).  Neither \s variant is
+# portable: Python's unicode \s matches \xa0 etc., Python's ASCII \s
+# includes \x0b, and RE2's \s excludes \x0b — the explicit class is
+# the only spelling both engines interpret identically.  Unicode
+# whitespace is a token character on BOTH sides.
+WS_CLASS = r" \t\n\x0b\f\r"
+WS_RE = re.compile(rf"[^{WS_CLASS}]+")
+_WS = WS_RE
 _PUNCT = re.compile(r"[.!?,;]")
 _ALPHA = re.compile(r"[A-Za-z]")
 _CJK = re.compile(r"[一-鿿぀-ヿ가-힯]")
 _CYR = re.compile(r"[Ѐ-ӿ]")
 STOPWORDS = ("the", "and", "of", "a", "to")
-# a whitespace-token equals a stopword iff bounded by non-\S on both
-# sides — same token model as _WS, no per-token Python loop
-_STOP = re.compile(r"(?<!\S)(?:%s)(?!\S)" % "|".join(STOPWORDS))
+# a whitespace-token equals a stopword iff bounded by the token-model
+# whitespace class on both sides — no per-token Python loop
+_STOP = re.compile(
+    rf"(?<![^{WS_CLASS}])(?:%s)(?![^{WS_CLASS}])" % "|".join(STOPWORDS)
+)
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_tok): whitespace-token count; SQL twin in
     queries.N_TOK_SQL."""
     s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
-    n = s.str.count(r"\S+").astype(np.int64)
+    n = s.str.count(WS_RE).astype(np.int64)
     return pa.table({"doc_id": batch["doc_id"], "n_tok": pa.array(n)})
 
 
 # BPE-ish sub-word tokenization (GPT-2-flavoured: contractions, letter
 # runs, digit runs, punctuation runs, whitespace runs) — written
-# without lookahead or unicode classes so Python re and DuckDB's RE2
-# match IDENTICALLY (the SQL twin is regexp_extract_all of this
-# pattern); zero-width matches are impossible so count == len(findall)
-BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# without lookahead, \s, or unicode classes so Python re and DuckDB's
+# RE2 match IDENTICALLY (the SQL twin is regexp_extract_all of this
+# exact string); zero-width matches are impossible so count ==
+# len(findall)
+BPE_PATTERN = (
+    rf"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^{WS_CLASS}A-Za-z0-9]+|[{WS_CLASS}]+"
+)
 _BPE = re.compile(BPE_PATTERN)
 
 
@@ -64,7 +80,7 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
       score = n_tok/(n_tok+100) - punct_ratio + stop_ratio."""
     s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
     n_chars = s.str.len().astype(np.float64)
-    n_tok = s.str.count(r"\S+").astype(np.float64)
+    n_tok = s.str.count(WS_RE).astype(np.float64)
     punct = s.str.count(_PUNCT).astype(np.float64)
     stops = s.str.count(_STOP).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -170,9 +170,20 @@ def jsonl_stream_from_parquet(parquet_root: str, out_root: str) -> str:
     newline-delimited JSON (one ``part-*.jsonl`` per parquet part) —
     the reference's ``value_format='json'`` Kafka topics
     (README.md:143, AllUdafIT.java:564) materialized per arrival dir.
-    Idempotent: skips dirs whose jsonl parts already exist."""
+    Idempotent via the source manifest: if the parquet fixture's
+    ``_fixture.json`` differs from the copy recorded here (or either
+    is missing), the whole jsonl tree is rebuilt — a regenerated
+    parquet fixture can never be shadowed by stale same-named jsonl
+    parts or leftover arrival dirs from a larger previous fixture."""
     import glob as _glob
+    import shutil as _shutil
 
+    src_manifest = os.path.join(parquet_root, "_fixture.json")
+    dst_manifest = os.path.join(out_root, "_fixture.json")
+    src = open(src_manifest).read() if os.path.exists(src_manifest) else None
+    dst = open(dst_manifest).read() if os.path.exists(dst_manifest) else ""
+    if src is None or src != dst:
+        _shutil.rmtree(out_root, ignore_errors=True)
     for pdir in sorted(_glob.glob(os.path.join(parquet_root, "arrival=*"))):
         d = os.path.join(out_root, os.path.basename(pdir))
         os.makedirs(d, exist_ok=True)
@@ -186,6 +197,9 @@ def jsonl_stream_from_parquet(parquet_root: str, out_root: str) -> str:
                 jf + ".tmp", orient="records", lines=True
             )
             os.replace(jf + ".tmp", jf)
+    if src is not None:
+        with open(dst_manifest, "w") as f:
+            f.write(src)
     return out_root
 
 

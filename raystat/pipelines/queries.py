@@ -94,11 +94,18 @@ def sql_kurt(v: str, sample: bool = False) -> str:
     return f"(CASE WHEN {var} = 0 THEN 0.0 ELSE {base} END)"
 
 
-# SQL-side token count identical to tokenize_batch's \S+ findall count
-N_TOK_SQL = (
-    "(CASE WHEN length(trim(text)) = 0 THEN 0 "
-    "ELSE len(string_split_regex(trim(text), '\\s+')) END)"
+# THE token model's SQL side (twin of text.WS_RE, the ASCII \S+
+# findall): trim-free split on RE2 \s+ with empty strings filtered —
+# handles leading/trailing/exotic whitespace and whitespace-only text
+# identically to Python (DuckDB trim() strips only spaces, so the old
+# trim-based form miscounted texts ending in \n).
+SPLIT_WS = (
+    "list_filter(string_split_regex(coalesce(text,''), "
+    "'[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
 )
+
+# SQL-side token count identical to tokenize_batch's \S+ findall count
+N_TOK_SQL = f"len({SPLIT_WS})"
 # window_start (epoch seconds) of the derived event time, 6h tumbling
 TOK_WS_SQL = f"cast((({EVENT_TIME_SQL})//1000000)//21600*21600 as bigint)"
 
@@ -117,9 +124,7 @@ def token_id_sql(w: str) -> str:
 TOK_FLAT_SQL = (
     "SELECT source, "
     f"{TOK_WS_SQL} AS window_start, "
-    "unnest(list_transform("
-    "  CASE WHEN length(trim(text)) = 0 THEN cast([] AS varchar[]) "
-    "       ELSE string_split_regex(trim(text), '\\s+') END, "
+    f"unnest(list_transform({SPLIT_WS}, "
     f" w -> {token_id_sql('w')})) AS token "
     "FROM documents"
 )
@@ -641,9 +646,7 @@ QUERIES: list[QueryDef] = [
         "passthrough_checksums",
         _passthrough_checksums,
         f"""SELECT doc_id, cast({N_TOK_SQL} as bigint) AS n_tok, source,
-              cast(coalesce(list_sum(list_transform(
-                CASE WHEN length(trim(text)) = 0 THEN cast([] AS varchar[])
-                     ELSE string_split_regex(trim(text), '\\s+') END,
+              cast(coalesce(list_sum(list_transform({SPLIT_WS},
                 w -> {token_id_sql('w')})), 0) as bigint) AS tok_sum
             FROM documents""",
     ),
@@ -782,6 +785,11 @@ def _q_fingerprint(sf_dir):
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+from raystat.dataops.text import BPE_PATTERN as _BPE_PY_PATTERN
+
+_BPE_SQL_PATTERN = _BPE_PY_PATTERN.replace("'", "''")
+
+
 def _q_bpe_token_count(sf_dir):
     from raystat.dataops.text import bpe_token_count_batch
 
@@ -814,12 +822,12 @@ def _q_simhash_pairs(sf_dir):
 # the exact shingle-Jaccard pair set, entirely in SQL: 3-word shingles
 # (same shingling as dedup.shingle_set, strings instead of crc32
 # hashes), pairwise set Jaccard >= 0.8 — full twin of minhash_lsh_pairs
-MINHASH_PAIRS_SQL = """WITH w AS (
-     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+MINHASH_PAIRS_SQL = f"""WITH w AS (
+     SELECT doc_id, {SPLIT_WS} AS ws
      FROM documents
    ), sh AS (
      SELECT doc_id,
-       CASE WHEN len(ws) = 0 OR trim(array_to_string(ws,' ')) = '' THEN []
+       CASE WHEN len(ws) = 0 THEN []
             WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
             ELSE list_distinct(list_transform(range(1, len(ws)-1),
                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
@@ -843,10 +851,8 @@ MINHASH_PAIRS_SQL = """WITH w AS (
 # recall is exactly 1 and the verified pair set IS the Hamming ball.
 # sum() runs in HUGEINT (sum over UHUGEINT degrades to DOUBLE in
 # DuckDB 1.0 and corrupts bit 63).
-SIMHASH_PAIRS_SQL = r"""WITH w AS (
-     SELECT doc_id,
-       CASE WHEN length(trim(coalesce(text,''))) = 0 THEN cast([] as varchar[])
-            ELSE string_split_regex(trim(text), '\s+') END AS ws
+SIMHASH_PAIRS_SQL = f"""WITH w AS (
+     SELECT doc_id, {SPLIT_WS} AS ws
      FROM documents
    ), sh AS (
      SELECT doc_id,
@@ -1127,7 +1133,7 @@ STOP_SQL = "('the','and','of','a','to')"
 NTOKD = f"cast({N_TOK_SQL} as double)"
 PUNCT_SQL = "cast(length(regexp_replace(text, '[^.!?,;]', '', 'g')) as double)"
 STOPS_SQL = (
-    "cast(len(list_filter(string_split_regex(trim(text), '\\s+'),"
+    f"cast(len(list_filter({SPLIT_WS},"
     f" x -> x in {STOP_SQL})) as double)"
 )
 PUNCT_RATIO_SQL = f"(CASE WHEN length(text) > 0 THEN {PUNCT_SQL}/length(text) ELSE 0.0 END)"
@@ -1143,11 +1149,11 @@ QUERIES.extend(
         QueryDef(
             "bpe_token_count_documents",
             _q_bpe_token_count,
-            # identical RE2/re pattern (no lookahead, no unicode
-            # classes); single quotes doubled for the SQL literal
-            "SELECT doc_id, cast(len(regexp_extract_all(coalesce(text,''), "
-            "'''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"
-            ")) as bigint) AS n_bpe FROM documents",
+            # the EXACT BPE_PATTERN string (single quotes doubled for
+            # the SQL literal) — one source of truth for both engines
+            "SELECT doc_id, cast(len(regexp_extract_all(coalesce(text,''), '"
+            + _BPE_SQL_PATTERN
+            + "')) as bigint) AS n_bpe FROM documents",
         ),
         QueryDef(
             "quality_score_documents",
@@ -1186,11 +1192,8 @@ QUERIES.extend(
             # hashes, Rabin-Karp 4-gram windows mod 2^61-1 (HUGEINT
             # keeps every product exact), winnowing min; <4 words fold
             # left (list_reduce from h1 == fold from 0)
-            r"""WITH w AS (
-                 SELECT doc_id,
-                   CASE WHEN length(trim(coalesce(text,''))) = 0
-                        THEN cast([] as varchar[])
-                        ELSE string_split_regex(trim(text), '\s+') END AS ws
+            f"""WITH w AS (
+                 SELECT doc_id, {SPLIT_WS} AS ws
                  FROM documents
                ), h AS (
                  SELECT doc_id, list_transform(ws, x ->

@@ -23,7 +23,7 @@ from raystat.fixtures import epoch_len_us
 
 VOCAB = 50257
 _POLY_MOD = 1_000_003
-_WS = re.compile(r"\S+")
+from raystat.dataops.text import WS_RE as _WS  # ASCII token model
 _TOKENIZER_VERSION = 2  # poly31 codepoint hash (v1 was crc32)
 
 

@@ -678,3 +678,70 @@ def test_audio_wav_decode_features():
     assert f[3] == pytest.approx(400.0, rel=0.05)  # power centroid at the tone
     assert f[4] == pytest.approx(400.0, rel=0.05)  # rolloff at the tone too
     assert f[5] <= 1.0
+
+
+def test_whitespace_token_model_sql_parity():
+    """The engine's token model (explicit ASCII whitespace class,
+    text.WS_CLASS) must agree with every DuckDB twin on the nasty
+    cases: leading/trailing whitespace, whitespace-only text, \\x0b
+    (in Python's ASCII \\s but NOT RE2's), and unicode whitespace
+    (\\xa0 — a token character on BOTH sides).  No Ray needed: batch
+    fns run in-process, SQL runs in DuckDB."""
+    import duckdb
+
+    from raystat.dataops.dedup import simhash_batch
+    from raystat.dataops.text import (
+        bpe_token_count_batch,
+        fingerprint_batch,
+        quality_score_batch,
+        token_count_batch,
+    )
+    from raystat.pipelines.queries import QUERIES
+
+    edge = ["", "  ", "\n", "hello world\n", " lead", "trail ", "a\xa0b",
+            "a\x0b b", "don't\tstop\r\n", "the a of\x0bto", "\xa0",
+            "a\x0c\r\tb c d e f"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(edge), dtype=np.int64)),
+            "text": pa.array(edge, pa.string()),
+            "source": pa.array(["s"] * len(edge), pa.string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("edge_docs", t.to_pandas())
+    con.sql("CREATE VIEW documents AS SELECT * FROM edge_docs")
+    sql = {q.name: q.sql for q in QUERIES}
+
+    def oracle(name, col):
+        return con.sql(sql[name]).df().sort_values("doc_id")[col].tolist()
+
+    assert token_count_batch(t)["n_tok"].to_pylist() == oracle(
+        "token_count_documents", "n_tok"
+    )
+    assert bpe_token_count_batch(t)["n_bpe"].to_pylist() == oracle(
+        "bpe_token_count_documents", "n_bpe"
+    )
+    assert fingerprint_batch(t)["fingerprint"].to_pylist() == oracle(
+        "fingerprint_documents", "fingerprint"
+    )
+    q = quality_score_batch(t).to_pandas().sort_values("doc_id")
+    o = con.sql(sql["quality_score_documents"]).df().sort_values("doc_id")
+    for c in ["n_chars", "n_tok", "punct_ratio", "stop_ratio", "score"]:
+        assert (q[c].to_numpy() == o[c].to_numpy()).all(), c
+    # simhash pair set == brute-force Hamming ball, recomputed by SQL
+    s = simhash_batch(t)["simhash"].to_numpy().astype(np.uint64)
+    bits = np.unpackbits(s.view(np.uint8).reshape(len(s), 8), axis=1)
+    ham = (bits[:, None, :] != bits[None, :, :]).sum(axis=2)
+    exp = sorted(
+        (i, j, int(ham[i, j]))
+        for i in range(len(s))
+        for j in range(i + 1, len(s))
+        if ham[i, j] <= 3
+    )
+    got = sorted(
+        map(tuple, con.sql(sql["simhash_dedup_pairs"]).df()[
+            ["doc_a", "doc_b", "hamming"]
+        ].values.tolist())
+    )
+    assert exp == got and len(exp) > 0
