@@ -91,13 +91,13 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", n_parts: int
         """All hash groups of one partition in ONE vectorized sweep:
         sort by (hash, id); the first row per hash is the global min
         (keeper), everything else loses.  No per-group Python."""
-        h = g["content_hash"].to_numpy()
+        from raystat.dataops.pairs import sort_segments
+
         ids = g["_id"].to_numpy()
-        order = np.lexsort((ids, h))
-        h_s, id_s = h[order], ids[order]
-        first = np.ones(len(h_s), dtype=bool)
-        first[1:] = h_s[1:] != h_s[:-1]
-        return pd.DataFrame({"_id": id_s[~first]})
+        order, starts = sort_segments(ids, g["content_hash"].to_numpy())
+        first = np.zeros(len(ids), dtype=bool)
+        first[starts] = True
+        return pd.DataFrame({"_id": ids[order][~first]})
 
     loser_df = (
         ds.map_batches(hash_id, batch_format="pyarrow")
@@ -291,6 +291,7 @@ def minhash_lsh_pairs(
         bucket_partition,
         pop_overflow,
         segmented_capped_pairs,
+        sort_segments,
         verify_pairs_distributed,
     )
 
@@ -305,14 +306,11 @@ def minhash_lsh_pairs(
         return t.append_column("part", pa.array(part))
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        bi = g["band_id"].to_numpy()
-        bh = g["band_hash"].to_numpy()
         ids = g["doc_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((ids, bh, bi))
-        bi, bh, ids = bi[order], bh[order], ids[order]
-        brk = np.ones(len(ids), dtype=bool)
-        brk[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
-        return segmented_capped_pairs(ids, np.flatnonzero(brk), bucket_cap)
+        order, starts = sort_segments(
+            ids, g["band_id"].to_numpy(), g["band_hash"].to_numpy()
+        )
+        return segmented_capped_pairs(ids[order], starts, bucket_cap)
 
     cand = (
         ds.map_batches(bands, batch_format="pyarrow")
@@ -388,6 +386,7 @@ def exact_dup_pairs(
         bucket_partition,
         pop_overflow,
         segmented_capped_pairs,
+        sort_segments,
     )
 
     def hash_id(batch: pa.Table) -> pa.Table:
@@ -399,13 +398,9 @@ def exact_dup_pairs(
         )
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        h = g["content_hash"].to_numpy()
         ids = g["doc_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((ids, h))
-        h_s, id_s = h[order], ids[order]
-        brk = np.ones(len(h_s), dtype=bool)
-        brk[1:] = h_s[1:] != h_s[:-1]
-        return segmented_capped_pairs(id_s, np.flatnonzero(brk), bucket_cap)
+        order, starts = sort_segments(ids, g["content_hash"].to_numpy())
+        return segmented_capped_pairs(ids[order], starts, bucket_cap)
 
     out = (
         ds.map_batches(hash_id, batch_format="pyarrow")
@@ -568,16 +563,15 @@ def simhash_pairs(
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """All buckets of one partition in a single vectorized sweep;
         Python touches only the COLLIDING segments."""
-        bi = g["band_id"].to_numpy()
-        bh = g["band_hash"].to_numpy()
+        from raystat.dataops.pairs import sort_segments
+
         ids = g["doc_id"].to_numpy().astype(np.int64)
-        s = g["simhash"].to_numpy().astype(np.uint64)
-        order = np.lexsort((ids, bh, bi))
-        bi, bh, ids, s = bi[order], bh[order], ids[order], s[order]
+        order, starts = sort_segments(
+            ids, g["band_id"].to_numpy(), g["band_hash"].to_numpy()
+        )
+        ids = ids[order]
+        s = g["simhash"].to_numpy().astype(np.uint64)[order]
         n = len(ids)
-        brk = np.ones(n, dtype=bool)
-        brk[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.flatnonzero(brk)
         ends = np.append(starts[1:], n)
         sizes = ends - starts
         out_a, out_b, out_h = [], [], []

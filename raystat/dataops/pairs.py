@@ -39,6 +39,7 @@ import pyarrow as pa
 __all__ = [
     "splitmix64",
     "capped_bucket_pairs",
+    "sort_segments",
     "segmented_capped_pairs",
     "bucket_partition",
     "pop_overflow",
@@ -94,6 +95,23 @@ def capped_bucket_pairs(ids: np.ndarray, cap: int) -> pd.DataFrame:
     )
 
 
+def sort_segments(ids: np.ndarray, *keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Lexsort rows by (keys..., ids) and locate bucket boundaries:
+    returns (order, starts) where ``order`` sorts all arrays and
+    ``starts`` indexes the first row of each distinct key tuple in the
+    sorted layout.  The one shared sweep under every partitioned
+    pair-gen/loser path (minhash, simhash, exact dedup/pairs,
+    embedding LSH)."""
+    order = np.lexsort((ids, *reversed(keys)))
+    brk = np.zeros(len(ids), dtype=bool)
+    if len(ids):
+        brk[0] = True
+    for k in keys:
+        ks = k[order]
+        brk[1:] |= ks[1:] != ks[:-1]
+    return order, np.flatnonzero(brk)
+
+
 def segmented_capped_pairs(
     ids_sorted: np.ndarray, starts: np.ndarray, cap: int
 ) -> pd.DataFrame:
@@ -119,7 +137,15 @@ def segmented_capped_pairs(
 def bucket_partition(*keys: np.ndarray, n_parts: int = 64) -> np.ndarray:
     """Stable partition assignment for bucket keys (mixed then
     modulo): buckets sharing a partition are processed together by one
-    map_groups call instead of one call per bucket."""
+    map_groups call instead of one call per bucket.
+
+    SIZE n_parts TO THE DATA: each partition materializes
+    ~rows/n_parts (hash, id[, payload]) rows in one task, so pick
+    n_parts ~= total_rows / 2M (the default 64 covers up to ~10^8
+    rows; a 10^12-row corpus wants n_parts ~ 10^5-10^6).  The
+    per-partition Python-call overhead this amortizes is O(n_parts)
+    total — negligible at any setting — while the vectorized segment
+    sweep inside each call is what removes the per-bucket cost."""
     h = np.zeros(len(keys[0]), dtype=np.uint64)
     for k in keys:
         h = splitmix64(h ^ k.astype(np.uint64))

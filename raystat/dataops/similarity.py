@@ -383,14 +383,13 @@ def embedding_lsh_pairs(
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # all buckets of one partition in one vectorized sweep
-        ti = g["table_id"].to_numpy()
-        bk = g["bucket"].to_numpy()
+        from raystat.dataops.pairs import sort_segments
+
         ids = g["vec_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((ids, bk, ti))
-        ti, bk, ids = ti[order], bk[order], ids[order]
-        brk = np.ones(len(ids), dtype=bool)
-        brk[1:] = (ti[1:] != ti[:-1]) | (bk[1:] != bk[:-1])
-        return segmented_capped_pairs(ids, np.flatnonzero(brk), bucket_cap)
+        order, starts = sort_segments(
+            ids, g["table_id"].to_numpy(), g["bucket"].to_numpy()
+        )
+        return segmented_capped_pairs(ids[order], starts, bucket_cap)
 
     cand = (
         ds.map_batches(sig, batch_format="pyarrow")
