@@ -1533,6 +1533,79 @@ QUERIES.append(
 )
 
 
+def _q_chunk_documents(sf_dir):
+    """Per-document fixed-length chunk summaries (zero-shuffle
+    map_batches over the derived token table)."""
+    from raystat.dataops.packing import chunk_doc_stats
+    from raystat.pipelines.tokens import tokenize_documents
+
+    return chunk_doc_stats(tokenize_documents(sf_dir))
+
+
+def _q_pack_sequences(sf_dir):
+    """Cross-document sequence packing per source: two-level scan for
+    global token offsets + ONE bucketed token shuffle (the inherent
+    all-to-all of repacking); the count pass projects n_tok straight
+    off the text so token values materialize exactly once."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from raystat.dataops.packing import pack_block_stats
+    from raystat.dataops.text import WS_RE
+    from raystat.pipelines.tokens import tokenize_documents
+
+    def counts(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
+        n = s.str.count(WS_RE).astype(np.int32)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tok": pa.array(n), "source": batch["source"]}
+        )
+
+    cds = _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    return pack_block_stats(tokenize_documents(sf_dir), counts_ds=cds)
+
+
+_TOKS_SQL = f"list_transform({SPLIT_WS}, w -> {token_id_sql('w')})"
+
+QUERIES.extend(
+    [
+        QueryDef(
+            "chunk_documents",
+            _q_chunk_documents,
+            f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+                f AS (SELECT doc_id, unnest(range(len(toks))) AS i,
+                             unnest(toks) AS tok FROM d)
+                SELECT 'doc-' || lpad(cast(doc_id AS varchar), 12, '0') AS doc_id,
+                  cast(i // 64 AS bigint) AS chunk,
+                  count(*) AS n_in_chunk,
+                  cast(sum(tok) AS bigint) AS tok_sum,
+                  cast(sum(tok * (i % 64 + 1)) AS bigint) AS tok_wsum
+                FROM f GROUP BY 1, 2""",
+        ),
+        QueryDef(
+            "pack_sequences",
+            _q_pack_sequences,
+            f"""WITH d AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+                o AS (SELECT source, toks,
+                        coalesce(sum(len(toks)) OVER (PARTITION BY source
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                      FROM d),
+                f AS (SELECT source, off + unnest(range(len(toks))) AS p,
+                             unnest(toks) AS tok FROM o)
+                SELECT source, cast(p // 64 AS bigint) AS block,
+                  count(*) AS n_in_block,
+                  cast(sum(tok) AS bigint) AS tok_sum,
+                  cast(sum(tok * (p % 64 + 1)) AS bigint) AS tok_wsum
+                FROM f GROUP BY source, block""",
+        ),
+    ]
+)
+
+
 def queries() -> dict[str, Callable[[str], object]]:
     return {q.name: q.fn for q in QUERIES}
 

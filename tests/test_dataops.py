@@ -745,3 +745,83 @@ def test_whitespace_token_model_sql_parity():
         ].values.tolist())
     )
     assert exp == got and len(exp) > 0
+
+
+def _tok_table(rows):
+    """rows: list of (doc_id_str, tokens list, source)."""
+    off = np.zeros(len(rows) + 1, dtype=np.int32)
+    np.cumsum([len(r[1]) for r in rows], out=off[1:])
+    flat = np.array([t for r in rows for t in r[1]], dtype=np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(off), pa.array(flat)),
+            "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def _brute_chunks(rows, L):
+    out = []
+    for d, toks, _ in rows:
+        toks = np.asarray(toks, dtype=np.int64)
+        for c in range(-(-len(toks) // L)):
+            seg = toks[c * L : (c + 1) * L]
+            out.append(
+                (d, c, len(seg), int(seg.sum()),
+                 int((seg * np.arange(1, len(seg) + 1)).sum()))
+            )
+    return sorted(out)
+
+
+def _brute_pack(rows, L):
+    out = []
+    by_src: dict[str, list] = {}
+    for d, toks, s in sorted(rows):
+        by_src.setdefault(s, []).extend(toks)
+    for s, stream in by_src.items():
+        stream = np.asarray(stream, dtype=np.int64)
+        for b in range(-(-len(stream) // L)):
+            seg = stream[b * L : (b + 1) * L]
+            out.append(
+                (s, b, len(seg), int(seg.sum()),
+                 int((seg * np.arange(1, len(seg) + 1)).sum()))
+            )
+    return sorted(out)
+
+
+def test_chunk_and_pack_edge_cases(ray_session):
+    """Empty token lists (leading/trailing/mid-batch), short docs,
+    blocks spanning documents AND buckets, multi-source interleave."""
+    import ray.data as rd
+
+    from raystat.dataops.packing import chunk_doc_stats, pack_block_stats
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(0, 4)) * int(rng.integers(0, 9))  # many zeros
+        toks = rng.integers(0, 50257, size=n).tolist()
+        rows.append((f"doc-{i:012d}", toks, f"s{i % 3}"))
+    rows[0] = ("doc-" + "0" * 12, [], "s0")   # leading empty
+    rows[-1] = (f"doc-{59:012d}", [], "s2")   # trailing empty
+    L = 5
+    ds = rd.from_arrow(_tok_table(rows))
+
+    got_c = sorted(
+        map(tuple, to_pandas(chunk_doc_stats(ds, block_len=L)).values.tolist())
+    )
+    assert got_c == _brute_chunks(rows, L)
+
+    # bucket size 4 forces blocks to span bucket boundaries; n_parts 3
+    # forces buckets of one source into different partitions
+    got_p = sorted(
+        map(
+            tuple,
+            to_pandas(
+                pack_block_stats(ds, block_len=L, bucket_docs=4, n_parts=3)
+            ).values.tolist(),
+        )
+    )
+    assert got_p == _brute_pack(rows, L)
