@@ -1568,6 +1568,43 @@ def _q_pack_sequences(sf_dir):
     return pack_block_stats(tokenize_documents(sf_dir), counts_ds=cds)
 
 
+def _q_token_length_quantiles(sf_dir):
+    """Exact per-source token-length quantiles via mergeable value
+    histograms (shuffle bounded by |sources| x |distinct lengths|)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from raystat.dataops.quantiles import grouped_exact_quantiles
+    from raystat.dataops.text import WS_RE
+
+    def counts(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
+        n = s.str.count(WS_RE).astype(np.int64)
+        return pa.table({"n_tok": pa.array(n), "source": batch["source"]})
+
+    ds = _read(sf_dir, "documents", ["text", "source"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    return grouped_exact_quantiles(ds, key="source", value="n_tok")
+
+
+QUERIES.append(
+    QueryDef(
+        "token_length_quantiles",
+        _q_token_length_quantiles,
+        f"""SELECT source,
+              quantile_disc(n_tok, 0.25) AS p25,
+              quantile_disc(n_tok, 0.5)  AS p50,
+              quantile_disc(n_tok, 0.75) AS p75,
+              quantile_disc(n_tok, 0.9)  AS p90,
+              quantile_disc(n_tok, 0.99) AS p99
+            FROM (SELECT source, {N_TOK_SQL} AS n_tok FROM documents)
+            GROUP BY source""",
+    )
+)
+
+
 _TOKS_SQL = f"list_transform({SPLIT_WS}, w -> {token_id_sql('w')})"
 
 QUERIES.extend(

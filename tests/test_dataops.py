@@ -825,3 +825,33 @@ def test_chunk_and_pack_edge_cases(ray_session):
         )
     )
     assert got_p == _brute_pack(rows, L)
+
+
+def test_grouped_exact_quantiles_vs_bruteforce(ray_session):
+    """Histogram-partial quantiles equal the sorted-multiset rule
+    (smallest value with cumcount >= ceil(q*n)) on duplicate-heavy and
+    single-row groups."""
+    import ray.data as rd
+
+    from raystat.dataops.quantiles import grouped_exact_quantiles
+
+    rng = np.random.default_rng(7)
+    keys = np.repeat([f"g{i}" for i in range(6)], [1, 2, 5, 40, 400, 999])
+    vals = np.concatenate(
+        [rng.integers(0, 9, size=n) for n in (1, 2, 5, 40, 400)]
+        + [np.full(999, 3)]  # a constant group
+    ).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"source": pa.array(keys.tolist()), "n_tok": pa.array(vals)})
+    ).repartition(4)
+    got = (
+        to_pandas(grouped_exact_quantiles(ds))
+        .sort_values("source", ignore_index=True)
+    )
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    for _, row in got.iterrows():
+        v = np.sort(vals[keys == row["source"]])
+        n = len(v)
+        for q, col in zip(qs, ("p25", "p50", "p75", "p90", "p99")):
+            exp = v[int(np.ceil(q * n)) - 1]
+            assert row[col] == exp, (row["source"], col)
