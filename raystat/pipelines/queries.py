@@ -1513,6 +1513,71 @@ QUERIES.append(
 )
 
 
+def _q_top_tokens(sf_dir):
+    """Per-source top-10 tokens (exact heavy hitters).  Per-batch
+    composite-key bincount partials collapse each batch to at most
+    |sources| x |vocab| rows before the shuffle (row-count
+    independent); the per-source top-k is a tiny map_groups over the
+    merged histogram.  Ties break by token id (same rule as the SQL
+    row_number ORDER BY)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from raystat.pipelines.tokens import VOCAB, tokenize_documents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = pc.dictionary_encode(batch["source"].combine_chunks())
+        parents = pc.list_parent_indices(batch["tokens"].combine_chunks())
+        codes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(batch["tokens"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        comp = codes[parents.to_numpy(zero_copy_only=False)] * VOCAB + flat
+        c = np.bincount(comp)
+        nz = np.nonzero(c)[0]
+        s_idx, tok = np.divmod(nz, VOCAB)
+        return pa.table(
+            {
+                "source": src.dictionary.take(pa.array(s_idx)),
+                "token": pa.array(tok.astype(np.int64)),
+                "n": pa.array(c[nz].astype(np.int64)),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "token"], ascending=[False, True], ignore_index=True)
+        out = g.head(10).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (
+        tokenize_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("source")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "top_tokens_by_source",
+        _q_top_tokens,
+        f"""WITH f AS ({TOK_FLAT_SQL}),
+            c AS (SELECT source, cast(token AS bigint) AS token,
+                         count(*) AS n FROM f GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY n DESC, token) AS rank FROM c)
+            SELECT source, token, n, cast(rank AS bigint) AS rank
+            FROM r WHERE rank <= 10""",
+    )
+)
+
+
 QUERIES.append(
     QueryDef(
         "clean_corpus_stats",
