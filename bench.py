@@ -294,6 +294,13 @@ def main() -> None:
     ann_topk(emb, Q, qt["vec_id"].to_numpy(), k=10)
     queries["ann_topk_100q"] = round(time.time() - t0, 3)
 
+    # cross-doc sequence packing: the one-shuffle repack of every token
+    from raystat.pipelines.queries import _q_pack_sequences
+
+    t0 = time.time()
+    _q_pack_sequences(SF_DIR).count()
+    queries["pack_sequences"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
