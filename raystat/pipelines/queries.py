@@ -120,6 +120,9 @@ def token_id_sql(w: str) -> str:
     )
 
 
+# the token-id list of one document, exactly as tokenize_batch emits
+_TOKS_SQL = f"list_transform({SPLIT_WS}, w -> {token_id_sql('w')})"
+
 # one row per (doc, token): token VALUES exactly as tokenize_batch emits
 TOK_FLAT_SQL = (
     "SELECT source, "
@@ -1563,6 +1566,61 @@ def _q_top_tokens(sf_dir):
     )
 
 
+def _q_token_doc_freq(sf_dir):
+    """Token document frequency + smoothed IDF.  Each doc occupies ONE
+    row, so per-batch DISTINCT (doc, token) incidence (np.unique over a
+    composite key) makes df partials additive across batches; the
+    shuffle carries at most |vocab| x #batches rows.  N (corpus doc
+    count) is parquet metadata — no data pass."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from raystat.pipelines.tokens import VOCAB, tokenize_documents
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        comp = np.unique(parents.astype(np.int64) * VOCAB + flat)
+        df = np.bincount(comp % VOCAB)
+        nz = np.nonzero(df)[0]
+        return pa.table(
+            {"token": pa.array(nz.astype(np.int64)), "df": pa.array(df[nz].astype(np.int64))}
+        )
+
+    def with_idf(batch: pa.Table) -> pa.Table:
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log((n_docs + 1.0) / (df + 1.0)) + 1.0
+        return batch.append_column("idf", pa.array(idf))
+
+    return (
+        tokenize_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .map_batches(with_idf, batch_format="pyarrow")
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "token_doc_freq",
+        _q_token_doc_freq,
+        f"""WITH d AS (SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS token
+                       FROM documents),
+            c AS (SELECT cast(token AS bigint) AS token,
+                         count(*) AS df FROM d GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT token, df, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf
+            FROM c, n""",
+    )
+)
+
+
 QUERIES.append(
     QueryDef(
         "top_tokens_by_source",
@@ -1669,8 +1727,6 @@ QUERIES.append(
     )
 )
 
-
-_TOKS_SQL = f"list_transform({SPLIT_WS}, w -> {token_id_sql('w')})"
 
 QUERIES.extend(
     [
