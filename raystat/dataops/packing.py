@@ -204,6 +204,12 @@ def pack_block_stats(
         (s, int(b)): int(c)
         for s, b, c in zip(totals["source"], totals["bucket"], csum)
     }
+    # broadcast the base-offset map once via the object store (read
+    # zero-copy-ish per task) instead of re-shipping it inside every
+    # pack_part task closure — it is O(#docs / bucket_docs) entries
+    import ray
+
+    base_ref = ray.put(base)
 
     # -- pass 3: the one token shuffle, bucketed ------------------------
     def add_part(batch: pa.Table) -> pa.Table:
@@ -218,6 +224,7 @@ def pack_block_stats(
         ).append_column("part", pa.array(part))
 
     def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(base_ref)
         src = g["source"].to_numpy()
         bucket = g["_bucket"].to_numpy().astype(np.int64)
         dkey = g["_dkey"].to_numpy().astype(np.int64)
