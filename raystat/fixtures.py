@@ -108,6 +108,12 @@ def _write_fixture_block(
         sub = t.filter(pa.array(arr == e))
         d = os.path.join(tmp_root, f"arrival={int(e)}")
         os.makedirs(d, exist_ok=True)
+        # dict+snappy (pyarrow defaults) kept deliberately: plain-encoded
+        # uncompressed tokens decode ~19% faster SINGLE-threaded, but a
+        # controlled 8/32-process A/B (BASELINE.md round-3 appendix)
+        # shows identical per-file decode rates under parallelism — the
+        # shared fault path, not decode compute, is what saturates — so
+        # plain would only double the storage/page-cache footprint.
         pq.write_table(sub, os.path.join(d, f"part-{b:05d}.parquet"))
 
 
