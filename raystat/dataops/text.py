@@ -20,6 +20,7 @@ __all__ = [
     "quality_score_batch",
     "lang_id_batch",
     "fingerprint_batch",
+    "window_hashes_4",
     "STOPWORDS",
 ]
 
@@ -118,31 +119,42 @@ def _word_hash(w: str) -> int:
     return int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
 
 
+_RK_B, _RK_M = 1_000_003, (1 << 61) - 1
+_RK_PW = pow(_RK_B, 3, _RK_M)
+
+
+def window_hashes_4(words: list[str]) -> list[int]:
+    """All rolling 4-gram Rabin-Karp hashes of a word sequence
+    (md5-prefix word hashes, mod 2^61-1); empty for <4 words.  The
+    shared n-gram unit of the fingerprint and the decontamination
+    membership test."""
+    if len(words) < 4:
+        return []
+    hs = [_word_hash(w) for w in words]
+    out = []
+    acc = 0
+    for i, h in enumerate(hs):
+        if i < 4:
+            acc = (acc * _RK_B + h) % _RK_M
+            if i == 3:
+                out.append(acc)
+        else:
+            acc = ((acc - hs[i - 4] * _RK_PW) * _RK_B + h) % _RK_M
+            out.append(acc)
+    return out
+
+
 def _rolling_hash_tokens(words: list[str]) -> int:
     """Winnowing-style fingerprint: min of rolling 4-gram hashes
     (Rabin-Karp over md5-prefix word hashes); deterministic 61-bit."""
     if not words:
         return 0
-    hs = [_word_hash(w) for w in words]
-    B, M = 1_000_003, (1 << 61) - 1
-    if len(hs) < 4:
+    if len(words) < 4:
         acc = 0
-        for h in hs:
-            acc = (acc * B + h) % M
+        for w in words:
+            acc = (acc * _RK_B + _word_hash(w)) % _RK_M
         return acc
-    best = M
-    acc = 0
-    pw = pow(B, 3, M)
-    for i, h in enumerate(hs):
-        if i < 4:
-            acc = (acc * B + h) % M
-            if i == 3 and acc < best:
-                best = acc
-        else:
-            acc = ((acc - hs[i - 4] * pw) * B + h) % M
-            if acc < best:
-                best = acc
-    return best
+    return min(window_hashes_4(words))
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:

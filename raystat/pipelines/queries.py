@@ -1566,6 +1566,90 @@ def _q_top_tokens(sf_dir):
     )
 
 
+def _q_decontaminate(sf_dir):
+    """Benchmark decontamination: count, per corpus document, its
+    DISTINCT word-4-grams that also occur in a benchmark set (here the
+    deterministic doc_id%100==0 subset).  The benchmark hash set is
+    SMALL by construction, so it broadcasts once via ``ray.put`` and
+    membership is a vectorized ``searchsorted`` inside ``map_batches``
+    — the corpus never shuffles (the canonical broadcast-small-side
+    shape; at 100 TB the benchmark would come from its own table, same
+    plumbing)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from raystat.dataops.text import WS_RE, window_hashes_4
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(ids % 100 == 0)
+        hs: set[int] = set()
+        texts = batch["text"].to_pylist()
+        for i in sel:
+            hs.update(window_hashes_4(WS_RE.findall(texts[i] or "")))
+        return pa.table({"h4": pa.array(sorted(hs), pa.int64())})
+
+    bench = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(bench_partial, batch_format="pyarrow")
+        .to_pandas()["h4"]
+        .to_numpy()
+    )
+    bench_ref = ray.put(np.unique(bench))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.flatnonzero(ids % 100 != 0)
+        texts = batch["text"].to_pylist()
+        n_hits = np.zeros(len(keep), dtype=np.int64)
+        for j, i in enumerate(keep):
+            ws = np.unique(
+                np.array(window_hashes_4(WS_RE.findall(texts[i] or "")), dtype=np.int64)
+            )
+            if ws.size and bset.size:
+                pos = np.searchsorted(bset, ws)
+                pos[pos == bset.size] = 0
+                n_hits[j] = int((bset[pos] == ws).sum())
+        return pa.table(
+            {"doc_id": pa.array(ids[keep]), "n_hits": pa.array(n_hits)}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+_H4_SQL = (
+    f"list_transform(range(1, len(hs)-2), i -> "
+    f"(((((hs[i]*1000003 + hs[i+1]) % 2305843009213693951)*1000003"
+    f" + hs[i+2]) % 2305843009213693951)*1000003"
+    f" + hs[i+3]) % 2305843009213693951)"
+)
+
+QUERIES.append(
+    QueryDef(
+        "decontaminate_documents",
+        _q_decontaminate,
+        f"""WITH w AS (SELECT doc_id, {SPLIT_WS} AS ws FROM documents),
+            h AS (SELECT doc_id, list_transform(ws, x ->
+                    cast(cast(('0x' || substr(md5(x),1,8)) as bigint) as hugeint)) AS hs
+                  FROM w),
+            g AS (SELECT doc_id,
+                    cast(unnest(list_distinct({_H4_SQL})) as bigint) AS h4
+                  FROM h WHERE len(hs) >= 4),
+            bench AS (SELECT DISTINCT h4 FROM g WHERE doc_id % 100 = 0),
+            hits AS (SELECT g.doc_id, count(*) AS n
+                     FROM g JOIN bench USING (h4)
+                     WHERE g.doc_id % 100 != 0 GROUP BY 1)
+            SELECT d.doc_id, coalesce(hits.n, 0) AS n_hits
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+            WHERE d.doc_id % 100 != 0""",
+    )
+)
+
+
 def _q_token_doc_freq(sf_dir):
     """Token document frequency + smoothed IDF.  Each doc occupies ONE
     row, so per-batch DISTINCT (doc, token) incidence (np.unique over a
