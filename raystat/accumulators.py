@@ -291,6 +291,9 @@ def show_functions() -> list[dict]:
     row per registered aggregate — name, weighted?, accumulator state
     fields (the reference's aggregateSchema struct fields), and whether
     the name extends the reference surface."""
+    from raystat.comoments import CO_REGISTRY
+
+    specs = list(REGISTRY.values()) + list(CO_REGISTRY.values())
     return [
         {
             "name": s.name,
@@ -298,7 +301,7 @@ def show_functions() -> list[dict]:
             "state_fields": list(s.fields),
             "reference": s.name in REFERENCE_FUNCTION_NAMES,
         }
-        for s in sorted(REGISTRY.values(), key=lambda s: s.name)
+        for s in sorted(specs, key=lambda s: s.name)
     ]
 
 

@@ -94,6 +94,55 @@ def sql_kurt(v: str, sample: bool = False) -> str:
     return f"(CASE WHEN {var} = 0 THEN 0.0 ELSE {base} END)"
 
 
+# -- bivariate (co-moment) twins: same power-sum form as comoments.py --
+
+
+def sql_cov(x: str, y: str) -> str:
+    n = _n(x)
+    return f"(sum(({x})*({y}))/{n} - (sum({x})/{n})*(sum({y})/{n}))"
+
+
+def sql_cov_samp(x: str, y: str) -> str:
+    n = _n(x)
+    return (
+        f"(CASE WHEN {n} < 2 THEN 0.0 "
+        f"ELSE (sum(({x})*({y})) - sum({x})*sum({y})/{n})/({n}-1) END)"
+    )
+
+
+def sql_corr(x: str, y: str) -> str:
+    n = _n(x)
+    mx, my = f"(sum({x})/{n})", f"(sum({y})/{n})"
+    vx = f"(sum(({x})*({x}))/{n} - pow({mx},2))"
+    vy = f"(sum(({y})*({y}))/{n} - pow({my},2))"
+    cov = f"(sum(({x})*({y}))/{n} - {mx}*{my})"
+    return (
+        f"(CASE WHEN {vx} = 0 OR {vy} = 0 THEN 0.0 "
+        f"ELSE {cov}/sqrt(greatest({vx},0)*greatest({vy},0)) END)"
+    )
+
+
+def sql_wcov(x: str, y: str, w: str) -> str:
+    sw = f"sum({w})"
+    return (
+        f"(sum(({w})*({x})*({y}))/{sw}"
+        f" - (sum(({w})*({x}))/{sw})*(sum(({w})*({y}))/{sw}))"
+    )
+
+
+def sql_wcorr(x: str, y: str, w: str) -> str:
+    sw = f"sum({w})"
+    mx = f"(sum(({w})*({x}))/{sw})"
+    my = f"(sum(({w})*({y}))/{sw})"
+    vx = f"(sum(({w})*({x})*({x}))/{sw} - pow({mx},2))"
+    vy = f"(sum(({w})*({y})*({y}))/{sw} - pow({my},2))"
+    cov = f"(sum(({w})*({x})*({y}))/{sw} - {mx}*{my})"
+    return (
+        f"(CASE WHEN {vx} = 0 OR {vy} = 0 THEN 0.0 "
+        f"ELSE {cov}/sqrt(greatest({vx},0)*greatest({vy},0)) END)"
+    )
+
+
 # THE token model's SQL side (twin of text.WS_RE, the ASCII \S+
 # findall): trim-free split on RE2 \s+ with empty strings filtered —
 # handles leading/trailing/exotic whitespace and whitespace-only text
@@ -1843,6 +1892,83 @@ QUERIES.extend(
                   cast(sum(tok) AS bigint) AS tok_sum,
                   cast(sum(tok * (p % 64 + 1)) AS bigint) AS tok_wsum
                 FROM f GROUP BY source, block""",
+        ),
+    ]
+)
+
+
+def _q_correlation_lineitem(sf_dir):
+    """Bivariate co-moment UDAFs (covariance pop/sample, Pearson corr)
+    per group — the reference's mergeable-moment family extended to
+    column pairs (raystat/comoments.py)."""
+    from raystat.comoments import grouped_comoments
+
+    return grouped_comoments(
+        _li(sf_dir),
+        {"xy_cov": "covariance", "xy_cov_samp": "covariance_sample",
+         "xy_corr": "correlation"},
+        ["l_returnflag"],
+        x="l_quantity", y="l_extendedprice",
+    )
+
+
+def _q_covariance_weighted_lineitem(sf_dir):
+    from raystat.comoments import grouped_comoments
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_extendedprice", "l_discount", "l_quantity"],
+    )
+    return grouped_comoments(
+        ds,
+        {"w_cov": "covariance_weighted", "w_corr": "correlation_weighted"},
+        ["l_returnflag"],
+        x="l_extendedprice", y="l_discount", weight="l_quantity",
+    )
+
+
+def _q_correlation_windowed_events(sf_dir):
+    """Windowed bivariate stats: corr(value, user_id) per
+    (event_type, 1-day tumbling window)."""
+    from raystat.comoments import grouped_comoments
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value", "user_id"])
+    return grouped_comoments(
+        ds,
+        {"vu_corr": "correlation", "vu_cov": "covariance"},
+        ["event_type"],
+        x="value", y="user_id", window=Tumbling(DAY), ts="ts",
+    )
+
+
+_TS_WS_DAY = f"cast(floor(epoch(ts)/{DAY})*{DAY} as bigint)"
+
+QUERIES.extend(
+    [
+        QueryDef(
+            "correlation_lineitem",
+            _q_correlation_lineitem,
+            f"""SELECT l_returnflag,
+                  {sql_cov('l_quantity', 'l_extendedprice')} AS xy_cov,
+                  {sql_cov_samp('l_quantity', 'l_extendedprice')} AS xy_cov_samp,
+                  {sql_corr('l_quantity', 'l_extendedprice')} AS xy_corr
+                FROM lineitem GROUP BY l_returnflag""",
+        ),
+        QueryDef(
+            "covariance_weighted_lineitem",
+            _q_covariance_weighted_lineitem,
+            f"""SELECT l_returnflag,
+                  {sql_wcov('l_extendedprice', 'l_discount', 'l_quantity')} AS w_cov,
+                  {sql_wcorr('l_extendedprice', 'l_discount', 'l_quantity')} AS w_corr
+                FROM lineitem GROUP BY l_returnflag""",
+        ),
+        QueryDef(
+            "correlation_windowed_events",
+            _q_correlation_windowed_events,
+            f"""SELECT event_type, {_TS_WS_DAY} AS window_start,
+                  {sql_corr('value', 'user_id')} AS vu_corr,
+                  {sql_cov('value', 'user_id')} AS vu_cov
+                FROM events GROUP BY event_type, window_start""",
         ),
     ]
 )

@@ -279,8 +279,12 @@ def test_show_functions_reference_parity():
     assert {r["name"] for r in show_functions() if r["reference"]} == (
         REFERENCE_FUNCTION_NAMES
     )
+    from raystat.comoments import CO_REGISTRY
+
     extensions = set(rows) - REFERENCE_FUNCTION_NAMES
-    assert extensions == {"weighted_average", "skewness_sample", "kurtosis_sample"}
+    assert extensions == {
+        "weighted_average", "skewness_sample", "kurtosis_sample",
+    } | set(CO_REGISTRY)
     # state-field metadata matches the reference's aggregateSchema structs
     assert rows["stddev_weighted"]["state_fields"] == [
         "SUM_VALUES", "SUM_WEIGHTS", "SUM_WEIGHT_SQUARES"
