@@ -118,7 +118,12 @@ def test_property_chunking_invariance(xs, seed, n_chunks):
         wv = w if spec.weighted else None
         one = spec.finalize(spec.accumulate_batch(x, y, wv))
         chunked = run_spec(name, x, y, wv, n_chunks=min(n_chunks, x.size))
-        assert chunked == pytest.approx(one, rel=1e-7, abs=1e-7), name
+        if np.isnan(one):
+            # degenerate variance: the (reference-faithful) naive
+            # power-sum ratio is NaN; both paths must agree on that
+            assert np.isnan(chunked), name
+        else:
+            assert chunked == pytest.approx(one, rel=1e-7, abs=1e-7), name
 
 
 def test_merge_associativity():
