@@ -1974,6 +1974,63 @@ QUERIES.extend(
 )
 
 
+def _q_asof_purchase_events(sf_dir):
+    """Point-in-time enrichment: each click/view event joined to the
+    user's latest purchase at-or-before it (distributed as-of join,
+    raystat/dataops/asof.py — one key-hash shuffle, one vectorized
+    sweep per partition)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raystat.dataops.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def left_side(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array(["click", "view"]))
+        return b.filter(m).select(["event_id", "user_id", "ts", "value"])
+
+    def right_side(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], "purchase")
+        t = b.filter(m).select(["user_id", "ts", "value"])
+        return t.rename_columns(["user_id", "ts", "purchase_value"])
+
+    joined = asof_join(
+        ev.map_batches(left_side, batch_format="pyarrow"),
+        ev.map_batches(right_side, batch_format="pyarrow"),
+        by="user_id", on="ts", right_cols=["purchase_value"],
+        n_parts=32,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        pv = pc.coalesce(b["purchase_value"], pa.scalar(-1.0, pa.float64()))
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "value": b["value"],
+                "purchase_value": pv,
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES.append(
+    QueryDef(
+        "asof_purchase_events",
+        _q_asof_purchase_events,
+        """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                      WHERE event_type IN ('click','view')),
+             r AS (SELECT user_id, ts, value AS pv FROM events
+                   WHERE event_type = 'purchase')
+           SELECT l.event_id, l.user_id, l.value,
+                  coalesce(r.pv, -1.0) AS purchase_value
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    )
+)
+
+
 def queries() -> dict[str, Callable[[str], object]]:
     return {q.name: q.fn for q in QUERIES}
 
