@@ -18,6 +18,9 @@ __all__ = [
     "bpe_token_count_batch",
     "BPE_PATTERN",
     "quality_score_batch",
+    "redact_pii_batch",
+    "EMAIL_PATTERN",
+    "PHONE_PATTERN",
     "lang_id_batch",
     "fingerprint_batch",
     "window_hashes_4",
@@ -51,6 +54,31 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
     n = s.str.count(WS_RE).astype(np.int64)
     return pa.table({"doc_id": batch["doc_id"], "n_tok": pa.array(n)})
+
+
+# PII scrubbing: RE2-compatible patterns shared VERBATIM with the
+# DuckDB twin (regexp_replace(..., 'g') / regexp_extract_all) — both
+# engines run RE2, so replacement and match counts agree byte-exactly.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}-\d{4}\b"
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace emails/phone-shaped substrings with <EMAIL>/<PHONE>
+    placeholders and count redactions — all in Arrow RE2 kernels, zero
+    Python per row."""
+    import pyarrow.compute as pc
+
+    t = pc.coalesce(batch[text_col], pa.scalar("", pa.string()))
+    n_emails = pc.cast(pc.count_substring_regex(t, pattern=EMAIL_PATTERN), pa.int64())
+    red = pc.replace_substring_regex(t, pattern=EMAIL_PATTERN, replacement="<EMAIL>")
+    n_phones = pc.cast(pc.count_substring_regex(red, pattern=PHONE_PATTERN), pa.int64())
+    red = pc.replace_substring_regex(red, pattern=PHONE_PATTERN, replacement="<PHONE>")
+    out = {c: batch[c] for c in batch.column_names if c != text_col}
+    out[text_col] = red
+    out["n_emails"] = n_emails
+    out["n_phones"] = n_phones
+    return pa.table(out)
 
 
 # BPE-ish sub-word tokenization (GPT-2-flavoured: contractions, letter

@@ -2016,6 +2016,75 @@ def _q_asof_purchase_events(sf_dir):
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
+def _q_redact_pii(sf_dir):
+    """PII scrubbing over documents: deterministic synthetic PII is
+    appended (the corpus has none), then redacted with the RE2
+    patterns shared verbatim with the SQL twin; the redacted text is
+    checksummed so the oracle verifies the full replacement output."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raystat.dataops.text import redact_pii_batch
+
+    def inject(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = pc.cast(b["doc_id"], pa.string())
+        mod = pa.array(b["doc_id"].to_numpy(zero_copy_only=False) % np.int64(10000))
+        phone = pc.utf8_lpad(pc.cast(mod, pa.string()), 4, "0")
+        t = pc.binary_join_element_wise(
+            pc.coalesce(b["text"], pa.scalar("", pa.string())),
+            " contact user", did, "@example.com or 555-", phone, "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    def checksum(b: pa.Table) -> pa.Table:
+        md5 = pa.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "redacted_md5": md5,
+                "n_emails": b["n_emails"],
+                "n_phones": b["n_phones"],
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(redact_pii_batch, batch_format="pyarrow")
+        .map_batches(checksum, batch_format="pyarrow")
+    )
+
+
+def _redact_sql() -> str:
+    from raystat.dataops.text import EMAIL_PATTERN, PHONE_PATTERN
+
+    e, p = EMAIL_PATTERN.replace("'", "''"), PHONE_PATTERN.replace("'", "''")
+    return f"""WITH inj AS (SELECT doc_id,
+              coalesce(text,'') || ' contact user' || cast(doc_id AS varchar)
+              || '@example.com or 555-'
+              || lpad(cast(doc_id % 10000 AS varchar), 4, '0') AS t
+            FROM documents),
+        er AS (SELECT doc_id,
+              len(regexp_extract_all(t, '{e}')) AS n_emails,
+              regexp_replace(t, '{e}', '<EMAIL>', 'g') AS t1 FROM inj),
+        pr AS (SELECT doc_id, n_emails,
+              len(regexp_extract_all(t1, '{p}')) AS n_phones,
+              regexp_replace(t1, '{p}', '<PHONE>', 'g') AS t2 FROM er)
+        SELECT doc_id, md5(t2) AS redacted_md5,
+          cast(n_emails AS bigint) AS n_emails,
+          cast(n_phones AS bigint) AS n_phones
+        FROM pr"""
+
+
+QUERIES.append(QueryDef("redact_pii_documents", _q_redact_pii, _redact_sql()))
+
+
 QUERIES.append(
     QueryDef(
         "asof_purchase_events",

@@ -855,3 +855,28 @@ def test_grouped_exact_quantiles_vs_bruteforce(ray_session):
         for q, col in zip(qs, ("p25", "p50", "p75", "p90", "p99")):
             exp = v[int(np.ceil(q * n)) - 1]
             assert row[col] == exp, (row["source"], col)
+
+
+def test_redact_pii_batch():
+    from raystat.dataops.text import redact_pii_batch
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a.b+c@x.io and d@e.org, call 555-1234",
+                    "no pii at all",
+                    None,
+                ]
+            ),
+        }
+    )
+    out = redact_pii_batch(b)
+    assert out["text"].to_pylist() == [
+        "mail <EMAIL> and <EMAIL>, call <PHONE>",
+        "no pii at all",
+        "",
+    ]
+    assert out["n_emails"].to_pylist() == [2, 0, 0]
+    assert out["n_phones"].to_pylist() == [1, 0, 0]
