@@ -1,0 +1,131 @@
+"""Mergeable cardinality sketches: HyperLogLog (Flajolet et al. 2007,
+the standard public algorithm) plus an exact distributed distinct
+count.
+
+The HLL state is a ``2**p``-register uint8 array; ``aggregate`` is a
+vectorized scatter-max per batch, ``merge`` is element-wise max (both
+commutative/idempotent — safe under replay), ``map`` is the closed-form
+estimate with the small-range linear-counting correction.  At 100 TB
+the shuffle carries one 4 KiB register row per (group, batch) —
+row-count independent, like the moment partials.
+
+Exact path: per-batch local dedup shrinks the shuffle to distinct
+pairs per batch; one groupby counts uniques per key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raystat.dataops.pairs import splitmix64
+
+__all__ = [
+    "hll_init",
+    "hll_add",
+    "hll_merge",
+    "hll_estimate",
+    "grouped_hll_distinct",
+    "grouped_exact_distinct",
+]
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+_M = 1 << HLL_P
+_SUFFIX_BITS = 64 - HLL_P  # 52: suffix fits a float64 mantissa exactly
+_ALPHA = 0.7213 / (1.0 + 1.079 / _M)
+
+
+def hll_init() -> np.ndarray:
+    return np.zeros(_M, dtype=np.uint8)
+
+
+def _rho_and_idx(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    h = splitmix64(values.astype(np.uint64, copy=False))
+    idx = (h >> np.uint64(_SUFFIX_BITS)).astype(np.int64)
+    suffix = (h & np.uint64((1 << _SUFFIX_BITS) - 1)).astype(np.float64)
+    # bit_length via frexp: exact for integers < 2^53 (suffix < 2^52)
+    _, exp = np.frexp(suffix)
+    rho = np.where(suffix > 0, _SUFFIX_BITS - exp + 1, _SUFFIX_BITS + 1).astype(
+        np.uint8
+    )
+    return idx, rho
+
+
+def hll_add(regs: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized aggregate: scatter-max of rank into registers."""
+    idx, rho = _rho_and_idx(np.asarray(values))
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    e = _ALPHA * _M * _M / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    if e <= 2.5 * _M:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return float(_M * np.log(_M / zeros))  # linear counting
+    return float(e)
+
+
+def grouped_hll_distinct(ds, key: str, value: str):
+    """Approximate distinct ``value`` per ``key``: per-batch register
+    partials (one 4 KiB row per (key, batch)) -> element-wise-max merge
+    per key -> estimate.  Returns a Dataset of (key, approx_distinct)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        vals = batch[value].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys)
+        idx, rho = _rho_and_idx(vals)
+        # one flat scatter-max across all groups in the batch
+        regs = np.zeros(len(uniq) * _M, dtype=np.uint8)
+        np.maximum.at(regs, codes * _M + idx, rho)
+        return pa.table(
+            {
+                key: pa.array(uniq),
+                "regs": pa.array(
+                    [regs[i * _M : (i + 1) * _M].tobytes() for i in range(len(uniq))],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def merge_and_estimate(g: pd.DataFrame) -> pd.DataFrame:
+        acc = hll_init()
+        for b in g["regs"]:
+            np.maximum(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], "approx_distinct": [hll_estimate(acc)]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge_and_estimate, batch_format="pandas")
+    )
+
+
+def grouped_exact_distinct(ds, key: str, value: str):
+    """Exact distinct ``value`` per ``key``: per-batch local dedup (the
+    combiner — shuffle volume is distinct-pairs-per-batch, not rows)
+    -> per-key unique count.  Returns (key, n_distinct)."""
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], value: batch[value]})
+        return t.group_by([key, value]).aggregate([])
+
+    def count_unique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], "n_distinct": [int(g[value].nunique())]}
+        )
+
+    return (
+        ds.map_batches(local_dedup, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(count_unique, batch_format="pandas")
+    )

@@ -2085,6 +2085,58 @@ def _redact_sql() -> str:
 QUERIES.append(QueryDef("redact_pii_documents", _q_redact_pii, _redact_sql()))
 
 
+def _q_distinct_users(sf_dir):
+    """Exact distributed COUNT(DISTINCT): per-batch local dedup
+    combiner, one groupby (raystat/dataops/sketches.py)."""
+    from raystat.dataops.sketches import grouped_exact_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_exact_distinct(ds, key="event_type", value="user_id")
+
+
+def _q_hll_accuracy(sf_dir):
+    """HyperLogLog cardinality sketch gated against the exact
+    distributed distinct count: the sketch is deterministic (splitmix64
+    hash), so the 5% accuracy boolean is stable per sf and the driver's
+    equality compare verifies it (same pattern as
+    ann_topk_ivf_pruned_recall)."""
+    import pandas as pd
+
+    from raystat.dataops.sketches import grouped_exact_distinct, grouped_hll_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    exact = grouped_exact_distinct(ds, key="event_type", value="user_id").to_pandas()
+    approx = grouped_hll_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        key="event_type",
+        value="user_id",
+    ).to_pandas()
+    m = pd.merge(exact, approx, on="event_type")
+    m["within_5pct"] = (
+        (m["approx_distinct"] - m["n_distinct"]).abs() / m["n_distinct"] <= 0.05
+    )
+    return m[["event_type", "n_distinct", "within_5pct"]]
+
+
+QUERIES.extend(
+    [
+        QueryDef(
+            "distinct_users_by_type",
+            _q_distinct_users,
+            """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+               FROM events GROUP BY event_type""",
+        ),
+        QueryDef(
+            "hll_distinct_accuracy",
+            _q_hll_accuracy,
+            """SELECT event_type, count(DISTINCT user_id) AS n_distinct,
+                      true AS within_5pct
+               FROM events GROUP BY event_type""",
+        ),
+    ]
+)
+
+
 QUERIES.append(
     QueryDef(
         "asof_purchase_events",

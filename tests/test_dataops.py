@@ -880,3 +880,63 @@ def test_redact_pii_batch():
     ]
     assert out["n_emails"].to_pylist() == [2, 0, 0]
     assert out["n_phones"].to_pylist() == [1, 0, 0]
+
+
+def test_hll_accuracy_and_merge():
+    from raystat.dataops.sketches import (
+        hll_add,
+        hll_estimate,
+        hll_init,
+        hll_merge,
+    )
+
+    # accuracy across magnitudes (deterministic hash -> fixed results)
+    for n in (100, 1_000, 10_000, 200_000):
+        regs = hll_add(hll_init(), np.arange(n, dtype=np.int64))
+        est = hll_estimate(regs)
+        assert abs(est - n) / n < 0.05, (n, est)
+    # duplicates don't move the estimate (idempotent aggregate)
+    a = hll_add(hll_init(), np.arange(5_000, dtype=np.int64))
+    b = hll_add(hll_init(), np.tile(np.arange(5_000, dtype=np.int64), 3))
+    assert hll_estimate(a) == hll_estimate(b)
+    # merge of disjoint halves == one-shot over the union
+    h1 = hll_add(hll_init(), np.arange(0, 4_000, dtype=np.int64))
+    h2 = hll_add(hll_init(), np.arange(4_000, 8_000, dtype=np.int64))
+    both = hll_add(hll_init(), np.arange(8_000, dtype=np.int64))
+    assert np.array_equal(hll_merge(h1, h2), both)
+    # merge is commutative + idempotent (replay-safe)
+    assert np.array_equal(hll_merge(h1, h2), hll_merge(h2, h1))
+    assert np.array_equal(hll_merge(h1, h1), h1)
+
+
+def test_grouped_distinct_exact_and_hll(ray_session):
+    import ray.data as rd
+
+    from raystat.dataops.sketches import grouped_exact_distinct, grouped_hll_distinct
+
+    rng = np.random.default_rng(5)
+    n = 30_000
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # per-key distinct targets of very different sizes
+    vals = np.where(
+        keys == "a",
+        rng.integers(0, 50, n),
+        np.where(keys == "b", rng.integers(0, 2_000, n), rng.integers(0, 20_000, n)),
+    ).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys.tolist()), "v": pa.array(vals)})
+    ).repartition(8)
+    exact = (
+        to_pandas(grouped_exact_distinct(ds, key="k", value="v"))
+        .set_index("k")["n_distinct"]
+        .to_dict()
+    )
+    truth = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique().to_dict()
+    assert exact == truth
+    approx = (
+        to_pandas(grouped_hll_distinct(ds, key="k", value="v"))
+        .set_index("k")["approx_distinct"]
+        .to_dict()
+    )
+    for k, t in truth.items():
+        assert abs(approx[k] - t) / t < 0.05, (k, t, approx[k])
