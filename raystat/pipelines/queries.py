@@ -1615,6 +1615,63 @@ def _q_top_tokens(sf_dir):
     )
 
 
+def _q_top_bigrams(sf_dir):
+    """Per-source top-10 token bigrams (n-gram LM counts).  Adjacency
+    comes straight off the Arrow list layout: tokens at flat positions
+    (i, i+1) form a bigram iff they share a parent row — no per-doc
+    Python.  Per-batch hash-agg partials bound the shuffle by distinct
+    (source, bigram) per batch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from raystat.pipelines.tokens import VOCAB, tokenize_documents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = pc.dictionary_encode(batch["source"].combine_chunks())
+        toks = batch["tokens"].combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # int64 BEFORE the *VOCAB composite: int32 would overflow
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if flat.size < 2:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bigram": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same_doc = parents[1:] == parents[:-1]
+        big = flat[:-1][same_doc] * np.int64(VOCAB) + flat[1:][same_doc]
+        s = codes[parents[:-1][same_doc]]
+        t = pa.table(
+            {
+                "source": src.dictionary.take(pa.array(s)),
+                "bigram": pa.array(big.astype(np.int64)),
+            }
+        )
+        agg = t.group_by(["source", "bigram"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["source", "bigram", "n"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "bigram"], ascending=[False, True], ignore_index=True)
+        out = g.head(10).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (
+        tokenize_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "bigram"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("source")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def _q_decontaminate(sf_dir):
     """Benchmark decontamination: count, per corpus document, its
     DISTINCT word-4-grams that also occur in a benchmark set (here the
@@ -2083,6 +2140,25 @@ def _redact_sql() -> str:
 
 
 QUERIES.append(QueryDef("redact_pii_documents", _q_redact_pii, _redact_sql()))
+
+
+QUERIES.append(
+    QueryDef(
+        "top_bigrams_by_source",
+        _q_top_bigrams,
+        f"""WITH d AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+            f AS (SELECT source,
+                    unnest(list_transform(range(len(toks)-1),
+                      i -> toks[i+1] * 50257 + toks[i+2])) AS bigram
+                  FROM d),
+            c AS (SELECT source, cast(bigram AS bigint) AS bigram,
+                         count(*) AS n FROM f GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY n DESC, bigram) AS rank FROM c)
+            SELECT source, bigram, n, cast(rank AS bigint) AS rank
+            FROM r WHERE rank <= 10""",
+    )
+)
 
 
 def _q_distinct_users(sf_dir):
