@@ -2161,6 +2161,61 @@ QUERIES.append(
 )
 
 
+def _q_repetition(sf_dir):
+    """Per-document repetition ratio (1 - distinct/total tokens) —
+    the duplicate-content quality signal; distinctness computed over
+    token IDS so both sides share one model.  Zero-shuffle: one
+    vectorized map_batches over the token table (np.unique on
+    composite (doc, token) keys)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raystat.pipelines.tokens import VOCAB, tokenize_documents
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = parents * np.int64(VOCAB) + flat
+        uniq_parents = (np.unique(comp) // VOCAB).astype(np.int64)
+        n_distinct = np.bincount(uniq_parents, minlength=batch.num_rows).astype(
+            np.int64
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = 1.0 - n_distinct / n_tok
+        ratio = np.where(n_tok == 0, 0.0, ratio)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": pa.array(n_tok),
+                "n_distinct": pa.array(n_distinct),
+                "rep_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return tokenize_documents(sf_dir).map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "repetition_documents",
+        _q_repetition,
+        f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            SELECT 'doc-' || lpad(cast(doc_id AS varchar), 12, '0') AS doc_id,
+              cast(len(toks) AS bigint) AS n_tok,
+              cast(len(list_distinct(toks)) AS bigint) AS n_distinct,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(toks)) / cast(len(toks) AS double)
+              END AS rep_ratio
+            FROM d""",
+    )
+)
+
+
 def _q_distinct_users(sf_dir):
     """Exact distributed COUNT(DISTINCT): per-batch local dedup
     combiner, one groupby (raystat/dataops/sketches.py)."""
