@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["grouped_exact_quantiles"]
+__all__ = ["grouped_exact_quantiles", "grouped_trimmed_mean"]
 
 
 def grouped_exact_quantiles(
@@ -60,6 +60,53 @@ def grouped_exact_quantiles(
         v = g[value].to_numpy()[np.minimum(idx, len(c) - 1)]
         return pd.DataFrame(
             {key: [g[key].iloc[0]], **{nm: [int(x)] for nm, x in zip(names, v)}}
+        )
+
+    return (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key, value])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby(key)
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def grouped_trimmed_mean(ds, key: str = "source", value: str = "n_tok",
+                         trim: float = 0.05):
+    """Exact per-group trimmed mean of an integer column: drop the
+    lowest and highest ``floor(trim * n)`` observations, average the
+    rest.  Same mergeable-histogram partials as
+    :func:`grouped_exact_quantiles`; the finalize distributes each
+    histogram bin's count across the kept rank interval (one cumsum,
+    no expansion back to rows).  SQL twin: row_number/count window +
+    AVG over the kept rank range."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key: batch[key].to_pandas(),
+                value: batch[value].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby([key, value], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value, ignore_index=True)
+        cnt = g["n"].to_numpy().astype(np.int64)
+        hi_c = cnt.cumsum()
+        lo_c = hi_c - cnt
+        n = int(hi_c[-1])
+        cut = int(np.floor(trim * n))
+        lo_rank, hi_rank = cut, n - cut  # keep ranks (lo_rank, hi_rank]
+        kept = np.clip(np.minimum(hi_c, hi_rank) - np.maximum(lo_c, lo_rank), 0, None)
+        total = int(kept.sum())
+        vals = g[value].to_numpy().astype(np.float64)
+        mean = float((vals * kept).sum() / total) if total else 0.0
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], "trimmed_mean": [mean],
+             "n_kept": [np.int64(total)]}
         )
 
     return (

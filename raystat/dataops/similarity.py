@@ -22,6 +22,7 @@ __all__ = [
     "train_centroids",
     "ivf_index",
     "ann_topk_ivf",
+    "label_centroids",
 ]
 
 
@@ -71,6 +72,53 @@ def _batch_topk(C: np.ndarray, ids: np.ndarray, k: int):
     rank = idxs - np.maximum.accumulate(np.where(first, idxs, 0))
     keep = rank < k
     return cols[keep].astype(np.int64), idv[keep].astype(np.int64), cosv[keep]
+
+
+def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
+    """Per-label mean embedding (class centroids), emitted long-form as
+    (label, dim, mean).  Per-batch (label -> dim-wise sum, count)
+    partials collapse each batch to |labels in batch| x dim rows before
+    the one small shuffle — row-count independent, the moment-partial
+    shape applied to vectors."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _stack(batch[vec_col])
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(labels)
+        sums = np.zeros((len(uniq), X.shape[1]), dtype=np.float64)
+        np.add.at(sums, codes, X)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        d = X.shape[1]
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(np.asarray(uniq), d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([label_col, "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                label_col: batch[label_col],
+                "dim": batch["dim"],
+                "mean": pa.array(s / n, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def ann_topk(

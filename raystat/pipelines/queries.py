@@ -1918,6 +1918,46 @@ QUERIES.append(
 )
 
 
+def _q_trimmed_mean(sf_dir):
+    """Per-source 5%-trimmed mean of token length from the same
+    mergeable histogram partials as the quantile query."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from raystat.dataops.quantiles import grouped_trimmed_mean
+    from raystat.dataops.text import WS_RE
+
+    def counts(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
+        n = s.str.count(WS_RE).astype(np.int64)
+        return pa.table({"n_tok": pa.array(n), "source": batch["source"]})
+
+    ds = _read(sf_dir, "documents", ["text", "source"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    return grouped_trimmed_mean(ds, key="source", value="n_tok", trim=0.05)
+
+
+QUERIES.append(
+    QueryDef(
+        "trimmed_mean_token_length",
+        _q_trimmed_mean,
+        f"""WITH t AS (SELECT source, {N_TOK_SQL} AS n_tok FROM documents),
+            v AS (SELECT source, n_tok,
+                    row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rk,
+                    count(*) OVER (PARTITION BY source) AS n
+                  FROM t)
+            SELECT source,
+              sum(n_tok) / cast(count(*) AS double) AS trimmed_mean,
+              count(*) AS n_kept
+            FROM v
+            WHERE rk > floor(0.05 * n) AND rk <= n - floor(0.05 * n)
+            GROUP BY source""",
+    )
+)
+
+
 QUERIES.extend(
     [
         QueryDef(
@@ -2212,6 +2252,24 @@ QUERIES.append(
                    ELSE 1.0 - len(list_distinct(toks)) / cast(len(toks) AS double)
               END AS rep_ratio
             FROM d""",
+    )
+)
+
+
+def _q_label_centroids(sf_dir):
+    """Per-label embedding centroids (vector moment partials)."""
+    from raystat.dataops.similarity import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings", ["label", "embedding"]))
+
+
+QUERIES.append(
+    QueryDef(
+        "label_centroids_embeddings",
+        _q_label_centroids,
+        """SELECT label, cast(i AS bigint) AS dim,
+                  sum(embedding[i+1])/count(*) AS mean
+           FROM embeddings, range(64) t(i) GROUP BY 1, 2""",
     )
 )
 

@@ -940,3 +940,25 @@ def test_grouped_distinct_exact_and_hll(ray_session):
     )
     for k, t in truth.items():
         assert abs(approx[k] - t) / t < 0.05, (k, t, approx[k])
+
+
+def test_grouped_trimmed_mean_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from raystat.dataops.quantiles import grouped_trimmed_mean
+
+    rng = np.random.default_rng(11)
+    keys = np.repeat(["a", "b", "c"], [500, 37, 3])
+    vals = np.concatenate(
+        [rng.integers(0, 200, 500), rng.integers(0, 50, 37), [5, 5, 5]]
+    ).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"source": pa.array(keys.tolist()), "n_tok": pa.array(vals)})
+    ).repartition(4)
+    got = to_pandas(grouped_trimmed_mean(ds, trim=0.1)).set_index("source")
+    for k in ("a", "b", "c"):
+        v = np.sort(vals[keys == k])
+        cut = int(np.floor(0.1 * len(v)))
+        kept = v[cut : len(v) - cut]
+        assert got.loc[k, "n_kept"] == len(kept)
+        assert got.loc[k, "trimmed_mean"] == pytest.approx(kept.mean(), rel=1e-12)
