@@ -301,6 +301,36 @@ def main() -> None:
     _q_pack_sequences(SF_DIR).count()
     queries["pack_sequences"] = round(time.time() - t0, 3)
 
+    # as-of join: point-in-time enrichment over the events stream
+    from raystat.pipelines.queries import _q_asof_purchase_events
+
+    t0 = time.time()
+    _q_asof_purchase_events(SF_DIR).count()
+    queries["asof_purchase_events"] = round(time.time() - t0, 3)
+
+    # bivariate co-moments + distinct-count sketch over events
+    from raystat.dataops.sketches import grouped_hll_distinct
+    from raystat.comoments import grouped_comoments
+
+    ev = rd.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["event_type", "user_id", "value"],
+    )
+    t0 = time.time()
+    grouped_comoments(
+        ev, {"c": "correlation"}, ["event_type"], x="value", y="user_id"
+    ).count()
+    queries["correlation_events"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    grouped_hll_distinct(
+        rd.read_parquet(
+            os.path.join(SF_DIR, "events.parquet"), columns=["event_type", "user_id"]
+        ),
+        key="event_type",
+        value="user_id",
+    ).count()
+    queries["hll_distinct_users"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
