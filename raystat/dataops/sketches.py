@@ -110,22 +110,35 @@ def grouped_hll_distinct(ds, key: str, value: str):
     )
 
 
-def grouped_exact_distinct(ds, key: str, value: str):
-    """Exact distinct ``value`` per ``key``: per-batch local dedup (the
-    combiner — shuffle volume is distinct-pairs-per-batch, not rows)
-    -> per-key unique count.  Returns (key, n_distinct)."""
+def grouped_exact_distinct(ds, key, value: str, *, window=None, ts: str = "ts"):
+    """Exact distinct ``value`` per key (a column name or list of
+    names, optionally plus a tumbling/hopping window over ``ts``):
+    per-batch local dedup (the combiner — shuffle volume is
+    distinct-tuples-per-batch, not rows) -> per-key unique count.
+    Returns (keys..., [window_start,] n_distinct)."""
+    keys = [key] if isinstance(key, str) else list(key)
 
     def local_dedup(batch: pa.Table) -> pa.Table:
-        t = pa.table({key: batch[key], value: batch[value]})
-        return t.group_by([key, value]).aggregate([])
+        if window is not None:
+            from raystat.windows import assign_windows
+
+            batch, ws = assign_windows(batch, ts, window)
+            batch = batch.append_column(
+                "window_start", pa.array(ws, type=pa.int64())
+            )
+        gcols = keys + (["window_start"] if window is not None else [])
+        t = pa.table({c: batch[c] for c in gcols + [value]})
+        return t.group_by(gcols + [value]).aggregate([])
+
+    gcols = keys + (["window_start"] if window is not None else [])
 
     def count_unique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {key: [g[key].iloc[0]], "n_distinct": [int(g[value].nunique())]}
-        )
+        out = {c: [g[c].iloc[0]] for c in gcols}
+        out["n_distinct"] = [int(g[value].nunique())]
+        return pd.DataFrame(out)
 
     return (
         ds.map_batches(local_dedup, batch_format="pyarrow")
-        .groupby(key)
+        .groupby(gcols)
         .map_groups(count_unique, batch_format="pandas")
     )

@@ -2316,6 +2316,20 @@ QUERIES.extend(
                FROM events GROUP BY event_type""",
         ),
         QueryDef(
+            "distinct_users_windowed",
+            lambda sf_dir: __import__(
+                "raystat.dataops.sketches", fromlist=["grouped_exact_distinct"]
+            ).grouped_exact_distinct(
+                _read(sf_dir, "events", ["event_type", "ts", "user_id"]),
+                "event_type",
+                "user_id",
+                window=Tumbling(DAY),
+            ),
+            f"""SELECT event_type, {_TS_WS_DAY} AS window_start,
+                  count(DISTINCT user_id) AS n_distinct
+               FROM events GROUP BY 1, 2""",
+        ),
+        QueryDef(
             "hll_distinct_accuracy",
             _q_hll_accuracy,
             """SELECT event_type, count(DISTINCT user_id) AS n_distinct,
