@@ -1918,6 +1918,65 @@ QUERIES.append(
 )
 
 
+def _q_kll_accuracy(sf_dir):
+    """KLL quantile sketch (the continuous-domain scale path of the
+    quantile engine) gated against exact quantile BRACKETS from the
+    histogram path: the p50 estimate must land within the exact
+    [p45, p55] rank bracket (p90 within [p85, p95]).  Deterministic
+    data + ~1% measured rank error vs a 5% bracket => the booleans are
+    stable and the driver's equality compare verifies them; the exact
+    p50/p90 columns are verified against quantile_disc directly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from raystat.dataops.kll import grouped_kll_quantiles
+    from raystat.dataops.quantiles import grouped_exact_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "v100": pa.array(v)})
+
+    exact = grouped_exact_quantiles(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        key="event_type",
+        value="v100",
+        qs=(0.45, 0.5, 0.55, 0.85, 0.9, 0.95),
+        names=("q45", "q50", "q55", "q85", "q90", "q95"),
+    ).to_pandas()
+    est = grouped_kll_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        key="event_type",
+        value="value",
+        qs=(0.5, 0.9),
+        names=("e50", "e90"),
+    ).to_pandas()
+    m = pd.merge(exact, est, on="event_type")
+    for c in ("q45", "q50", "q55", "q85", "q90", "q95"):
+        m[c] = m[c] / 100.0
+    m["p50_ok"] = (m["e50"] >= m["q45"]) & (m["e50"] <= m["q55"])
+    m["p90_ok"] = (m["e90"] >= m["q85"]) & (m["e90"] <= m["q95"])
+    out = m[["event_type", "q50", "q90", "p50_ok", "p90_ok"]].copy()
+    return out.rename(columns={"q50": "p50", "q90": "p90"})
+
+
+QUERIES.append(
+    QueryDef(
+        "kll_quantile_accuracy",
+        _q_kll_accuracy,
+        """SELECT event_type,
+                  quantile_disc(value, 0.5) AS p50,
+                  quantile_disc(value, 0.9) AS p90,
+                  true AS p50_ok, true AS p90_ok
+           FROM events GROUP BY event_type""",
+    )
+)
+
+
 def _q_trimmed_mean(sf_dir):
     """Per-source 5%-trimmed mean of token length from the same
     mergeable histogram partials as the quantile query."""

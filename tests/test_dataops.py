@@ -962,3 +962,63 @@ def test_grouped_trimmed_mean_vs_bruteforce(ray_session):
         kept = v[cut : len(v) - cut]
         assert got.loc[k, "n_kept"] == len(kept)
         assert got.loc[k, "trimmed_mean"] == pytest.approx(kept.mean(), rel=1e-12)
+
+
+def test_kll_rank_error_and_merge():
+    from raystat.dataops.kll import KLL
+
+    rng = np.random.default_rng(0)
+    for data in (
+        rng.uniform(0, 1, 100_000),
+        rng.normal(0, 1, 100_000),
+        rng.lognormal(0, 2, 100_000),
+    ):
+        sd = np.sort(data)
+        # chunked adds
+        s = KLL(200)
+        for chunk in np.array_split(data, 37):
+            s.add(chunk)
+        # merge of independent partials (arbitrary partitioning)
+        parts = [KLL(200).add(p) for p in np.array_split(data, 10)]
+        m = parts[0]
+        for x in parts[1:]:
+            m.merge(x)
+        for sk in (s, m):
+            assert sk.n == len(data)
+            for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+                est = sk.quantile(q)
+                rank = np.searchsorted(sd, est, side="right") / len(sd)
+                assert abs(rank - q) < 0.03, (q, rank)
+        # bounded state: O(k log(n/k)) floats, far below n
+        assert sum(a.size for a in m.levels) < 1_000
+    # wire round-trip preserves the estimate exactly
+    b = m.to_bytes()
+    r = KLL.from_bytes(b)
+    assert r.n == m.n and r.quantile(0.5) == m.quantile(0.5)
+    # small-n sketches are EXACT (no compaction): quantile_disc rule
+    v = np.array([3.0, 1.0, 2.0, 5.0, 4.0])
+    s = KLL(200).add(v)
+    assert s.quantile(0.5) == 3.0 and s.quantile(1.0) == 5.0
+    # nan-safe, empty-safe
+    assert np.isnan(KLL().quantile(0.5))
+    assert KLL().add([np.nan]).n == 0
+
+
+def test_grouped_kll_quantiles(ray_session):
+    import ray.data as rd
+
+    from raystat.dataops.kll import grouped_kll_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 40_000
+    keys = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    vals = np.where(keys == "a", rng.normal(10, 2, n), rng.uniform(0, 1, n))
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys.tolist()), "v": pa.array(vals)})
+    ).repartition(8)
+    got = to_pandas(grouped_kll_quantiles(ds, key="k", value="v")).set_index("k")
+    for k in ("a", "b"):
+        sd = np.sort(vals[keys == k])
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            rank = np.searchsorted(sd, got.loc[k, col], side="right") / len(sd)
+            assert abs(rank - q) < 0.03, (k, col, rank)
