@@ -21,7 +21,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["grouped_exact_quantiles", "grouped_trimmed_mean"]
+__all__ = [
+    "grouped_exact_quantiles",
+    "grouped_trimmed_mean",
+    "grouped_mode",
+    "grouped_mad",
+]
 
 
 def grouped_exact_quantiles(
@@ -116,3 +121,74 @@ def grouped_trimmed_mean(ds, key: str = "source", value: str = "n_tok",
         .groupby(key)
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def grouped_mode(ds, key: str, value: str):
+    """Exact per-group mode (most frequent value; ties -> smallest
+    value, the deterministic rule shared with the SQL twin's
+    row_number ORDER BY n DESC, value).  Same mergeable-histogram
+    partials; finalize is one idxmax per group."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key: batch[key].to_pandas(),
+                value: batch[value].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby([key, value], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([value], ignore_index=True)  # tie-break: smallest value
+        i = int(g["n"].to_numpy().argmax())  # argmax takes the FIRST max
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "mode_value": [g[value].iloc[i]],
+                "mode_count": [np.int64(g["n"].iloc[i])],
+            }
+        )
+
+    return (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key, value])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby(key)
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def grouped_mad(ds, ds_again, key: str, value: str):
+    """Exact per-group median absolute deviation over an
+    integer-valued column, in two histogram passes: (1) per-group
+    median, broadcast to (2) a second histogram pass over
+    ``|value - median|``.  The broadcast side is O(groups) — the
+    canonical small-side pattern; rows never shuffle.
+
+    ``ds`` and ``ds_again`` are two handles on the same input (Ray
+    Datasets are consumed by execution; callers pass two readers).
+    Returns (key, median, mad) as int64 (quantile_disc selection
+    rule on both)."""
+    med = (
+        grouped_exact_quantiles(ds, key=key, value=value, qs=(0.5,), names=("med",))
+        .to_pandas()
+    )
+    med_map = dict(zip(med[key], med["med"].astype(np.int64)))
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_pandas()
+        v = batch[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = k.map(med_map).to_numpy(dtype=np.int64)
+        return pa.table({key: batch[key], "absdev": pa.array(np.abs(v - m))})
+
+    mad = grouped_exact_quantiles(
+        ds_again.map_batches(absdev, batch_format="pyarrow"),
+        key=key,
+        value="absdev",
+        qs=(0.5,),
+        names=("mad",),
+    ).to_pandas()
+    out = med.merge(mad, on=key)
+    return out[[key, "med", "mad"]]

@@ -28,6 +28,7 @@ __all__ = [
     "hll_estimate",
     "grouped_hll_distinct",
     "grouped_exact_distinct",
+    "grouped_entropy",
 ]
 
 HLL_P = 12  # 4096 registers, ~1.6% standard error
@@ -141,4 +142,36 @@ def grouped_exact_distinct(ds, key, value: str, *, window=None, ts: str = "ts"):
         ds.map_batches(local_dedup, batch_format="pyarrow")
         .groupby(gcols)
         .map_groups(count_unique, batch_format="pandas")
+    )
+
+
+def grouped_entropy(ds, key: str, value: str):
+    """Shannon entropy (nats) of the ``value`` distribution per key,
+    from the same mergeable count-histogram partials as the quantile
+    family: shuffle is bounded by |key| x |distinct value| per batch,
+    the finalize is one vectorized -sum(p ln p) per group."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], value: batch[value]})
+        agg = t.group_by([key, value]).aggregate([([], "count_all")])
+        return agg.rename_columns([key, value, "n"])
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy().astype(np.float64)
+        p = n / n.sum()
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "entropy": [float(-(p * np.log(p)).sum())],
+                "n_distinct": [np.int64(len(g))],
+            }
+        )
+
+    return (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby([key, value])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby(key)
+        .map_groups(finalize, batch_format="pandas")
     )

@@ -1977,6 +1977,173 @@ QUERIES.append(
 )
 
 
+def _q_token_entropy(sf_dir):
+    """Per-source Shannon entropy of the token distribution (corpus
+    diversity signal) from mergeable count-histogram partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raystat.dataops.sketches import grouped_entropy
+    from raystat.pipelines.tokens import tokenize_documents
+
+    def flat(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        return pa.table(
+            {
+                "source": batch["source"].take(parents),
+                "token": pc.cast(pc.list_flatten(toks), pa.int64()),
+            }
+        )
+
+    ds = tokenize_documents(sf_dir).map_batches(
+        flat, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_entropy(ds, key="source", value="token")
+
+
+def _q_mode_events(sf_dir):
+    """Exact per-group mode of a continuous-looking column (2-decimal
+    values): histogram partials + deterministic smallest-value
+    tie-break shared with the SQL row_number rule."""
+    from raystat.dataops.quantiles import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        key="event_type",
+        value="value",
+    )
+
+
+def _q_mad_events(sf_dir):
+    """Median absolute deviation per group: two exact histogram passes
+    with the O(groups) median map broadcast between them; emitted in
+    value units (cents -> dollars)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raystat.dataops.quantiles import grouped_mad
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "v100": pa.array(v)})
+
+    def reader():
+        return _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            cents, batch_format="pyarrow"
+        )
+
+    out = grouped_mad(reader(), reader(), key="event_type", value="v100")
+    out["med"] = out["med"] / 100.0
+    out["mad"] = out["mad"] / 100.0
+    return out
+
+
+def _q_zscore_outliers(sf_dir):
+    """Per-group z-score outlier filter: one moments pass (power sums),
+    the O(groups) mean/std map broadcast into a second streaming filter
+    pass — rows never shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raystat.aggregate import grouped_moments
+
+    def add_one(b: pa.Table) -> pa.Table:
+        return b.append_column("one", pa.array(np.ones(b.num_rows)))
+
+    stats = grouped_moments(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            add_one, batch_format="pyarrow"
+        ),
+        {"mean": "weighted_average", "std": "stddev_weighted"},
+        ["event_type"],
+        value="value",
+        weight="one",
+    ).to_pandas()
+    mean_map = dict(zip(stats["event_type"], stats["mean"]))
+    std_map = dict(zip(stats["event_type"], stats["std"]))
+
+    def filt(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k = b["event_type"].to_pandas()
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = k.map(mean_map).to_numpy(dtype=np.float64)
+        sd = k.map(std_map).to_numpy(dtype=np.float64)
+        z = (v - mu) / sd
+        keep = np.abs(z) > 3.0
+        return pa.table(
+            {
+                "event_id": b["event_id"].filter(pa.array(keep)),
+                "event_type": b["event_type"].filter(pa.array(keep)),
+                "value": b["value"].filter(pa.array(keep)),
+                "z": pa.array(z[keep]),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        filt, batch_format="pyarrow"
+    )
+
+
+_ZS = (
+    "WITH s AS (SELECT event_type, sum(value) AS s1, sum(value*value) AS s2,"
+    " cast(count(*) AS double) AS n FROM events GROUP BY 1),"
+    " p AS (SELECT event_type, s1/n AS mean,"
+    " sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) AS std FROM s)"
+)
+
+QUERIES.extend(
+    [
+        QueryDef(
+            "token_entropy_by_source",
+            _q_token_entropy,
+            f"""WITH f AS ({TOK_FLAT_SQL}),
+                c AS (SELECT source, cast(token AS bigint) AS token,
+                             count(*) AS n FROM f GROUP BY 1, 2),
+                t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1)
+                SELECT c.source,
+                  -sum((n/tot)*ln(n/tot)) AS entropy,
+                  count(*) AS n_distinct
+                FROM c JOIN t USING (source) GROUP BY c.source""",
+        ),
+        QueryDef(
+            "mode_value_events",
+            _q_mode_events,
+            """WITH c AS (SELECT event_type, value, count(*) AS n
+                          FROM events GROUP BY 1, 2),
+               r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY n DESC, value) AS rk FROM c)
+               SELECT event_type, value AS mode_value, n AS mode_count
+               FROM r WHERE rk = 1""",
+        ),
+        QueryDef(
+            "mad_value_events",
+            _q_mad_events,
+            """WITH m AS (SELECT event_type,
+                   quantile_disc(cast(round(value*100) AS bigint), 0.5) AS med
+                 FROM events GROUP BY 1)
+               SELECT e.event_type, any_value(m.med)/100.0 AS med,
+                 quantile_disc(abs(cast(round(e.value*100) AS bigint) - m.med),
+                               0.5)/100.0 AS mad
+               FROM events e JOIN m USING (event_type)
+               GROUP BY e.event_type""",
+        ),
+        QueryDef(
+            "zscore_outliers_events",
+            _q_zscore_outliers,
+            f"""{_ZS}
+               SELECT e.event_id, e.event_type, e.value,
+                      (e.value - p.mean)/p.std AS z
+               FROM events e JOIN p USING (event_type)
+               WHERE abs((e.value - p.mean)/p.std) > 3""",
+        ),
+    ]
+)
+
+
 def _q_trimmed_mean(sf_dir):
     """Per-source 5%-trimmed mean of token length from the same
     mergeable histogram partials as the quantile query."""

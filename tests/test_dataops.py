@@ -1022,3 +1022,59 @@ def test_grouped_kll_quantiles(ray_session):
         for q, col in ((0.5, "p50"), (0.9, "p90")):
             rank = np.searchsorted(sd, got.loc[k, col], side="right") / len(sd)
             assert abs(rank - q) < 0.03, (k, col, rank)
+
+
+def test_grouped_mode_and_mad(ray_session):
+    import ray.data as rd
+
+    from raystat.dataops.quantiles import grouped_mad, grouped_mode
+
+    rng = np.random.default_rng(2)
+    keys = np.repeat(["a", "b"], [800, 200])
+    vals = np.concatenate(
+        [rng.integers(0, 30, 800), rng.integers(50, 60, 200)]
+    ).astype(np.int64)
+    # force a tie in group b: values 50 and 51 both at max count
+    vals[800:] = np.concatenate([np.full(100, 50), np.full(100, 51)])
+
+    def ds():
+        return rd.from_arrow(
+            pa.table({"k": pa.array(keys.tolist()), "v": pa.array(vals)})
+        ).repartition(4)
+
+    mode = to_pandas(grouped_mode(ds(), key="k", value="v")).set_index("k")
+    va = vals[:800]
+    cnt = np.bincount(va)
+    assert mode.loc["a", "mode_value"] == cnt.argmax()
+    assert mode.loc["a", "mode_count"] == cnt.max()
+    assert mode.loc["b", "mode_value"] == 50  # tie -> smallest value
+    assert mode.loc["b", "mode_count"] == 100
+
+    got = grouped_mad(ds(), ds(), key="k", value="v").set_index("k")
+    for k, v in (("a", va), ("b", vals[800:])):
+        sv = np.sort(v)
+        med = sv[int(np.ceil(0.5 * len(sv))) - 1]
+        ad = np.sort(np.abs(v - med))
+        mad = ad[int(np.ceil(0.5 * len(ad))) - 1]
+        assert got.loc[k, "med"] == med and got.loc[k, "mad"] == mad
+
+
+def test_grouped_entropy(ray_session):
+    import ray.data as rd
+
+    from raystat.dataops.sketches import grouped_entropy
+
+    rng = np.random.default_rng(9)
+    keys = np.repeat(["u", "s"], [1000, 1000])
+    # u: uniform over 16 symbols (entropy ln 16); s: single symbol (0)
+    vals = np.concatenate(
+        [np.tile(np.arange(16), 1000 // 16 + 1)[:1000], np.zeros(1000, np.int64)]
+    ).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys.tolist()), "v": pa.array(vals)})
+    ).repartition(4)
+    got = to_pandas(grouped_entropy(ds, key="k", value="v")).set_index("k")
+    # u is near-uniform (1000 not divisible by 16 -> tiny deficit)
+    assert abs(got.loc["u", "entropy"] - np.log(16)) < 0.01
+    assert got.loc["u", "n_distinct"] == 16
+    assert got.loc["s", "entropy"] == 0.0 and got.loc["s", "n_distinct"] == 1
