@@ -450,6 +450,29 @@ def _streaming_token_values(sf_dir):
     )
 
 
+def _streaming_len_value_corr(sf_dir):
+    """Streaming BIVARIATE statistics: per-(source, 6h window) Pearson
+    correlation and covariance between sequence length (n_tok) and the
+    row's token-id sum, computed through the full streaming path — the
+    comoment sums are sum-mergeable, so they ride the same salted
+    partial -> state-actor -> finalize machinery as the moments."""
+    from raystat.fixtures import epoch_len_us
+    from raystat.streaming import StreamConfig
+
+    cfg = StreamConfig(
+        specs={"wavg": "weighted_average"},
+        window_size_s=21600,
+        allowed_lateness_s=epoch_len_us(4) // 1_000_000,
+        n_partitions=8,
+        n_salts=4,
+        token_stats=True,
+        comoment_stats=True,
+    )
+    return _run_stream_docs(
+        sf_dir, cfg, ["source", "window_start", "len_tok_corr", "len_tok_cov"]
+    )
+
+
 def _streaming_hopping_lengths(sf_dir):
     """Streaming engine, HOPPING windows (size 6h, hop 3h) over
     token-length statistics — the ksqlDB WINDOW HOPPING surface."""
@@ -749,6 +772,18 @@ QUERIES: list[QueryDef] = [
               {sql_skew('token')} AS tok_skew,
               {sql_kurt('token')} AS tok_kurt
             FROM f GROUP BY source, window_start""",
+    ),
+    QueryDef(
+        "streaming_len_value_corr",
+        _streaming_len_value_corr,
+        f"""WITH t AS (SELECT source, {TOK_WS_SQL} AS window_start,
+                  cast({N_TOK_SQL} AS double) AS x,
+                  cast(coalesce(list_sum({_TOKS_SQL}), 0) AS double) AS y
+                FROM documents)
+            SELECT source, window_start,
+              {sql_corr('x', 'y')} AS len_tok_corr,
+              {sql_cov('x', 'y')} AS len_tok_cov
+            FROM t GROUP BY source, window_start""",
     ),
     QueryDef(
         "streaming_hopping_lengths",

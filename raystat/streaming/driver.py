@@ -84,6 +84,10 @@ class StreamConfig:
     #   finalized value of every LIVE (not yet closed) window each epoch
     token_stats: bool = False  # also compute per-token-id moment stats
     #   (value = every token id in `tokens`); all window modes
+    comoment_stats: bool = False  # also compute per-window BIVARIATE
+    #   stats corr/cov(n_tok, row token sum) via the comoment registry;
+    #   requires token_stats (reuses the per-row t_s1 sums); the extra
+    #   state is two more sum columns — same wire/merge path
     tokens_col: str = "tokens"
     file_format: str = "parquet"  # or "json": newline-delimited JSON
     #   parts (the reference's Kafka topics are value_format='json';
@@ -101,6 +105,8 @@ class StreamConfig:
                 f"hop_s ({self.hop_s}) must be <= window_size_s "
                 f"({self.window_size_s}) — ksqlDB hopping semantics"
             )
+        if self.comoment_stats and not self.token_stats:
+            raise ValueError("comoment_stats requires token_stats=True")
 
 
 _CANON_TYPES = {
@@ -349,6 +355,11 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
             for c in t_cols:
                 v = tr[c] if row_of is None else np.take(tr[c], row_of)
                 sums[c] = gsum(v)
+        if "c_sxy" in needed:
+            # bivariate sums: y = per-row token sum (t_s1 row-level)
+            y = tr["t_s1"] if row_of is None else np.take(tr["t_s1"], row_of)
+            sums["c_syy"] = gsum(y * y)
+            sums["c_sxy"] = gsum(g_x * y)
 
         # decode keys from the composite integer
         u_src, u_win = np.divmod(kd, n_win)
@@ -412,6 +423,10 @@ def _session_partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermar
         if tr is not None:
             for c, v in tr.items():
                 df[c] = v
+        if "c_sxy" in needed:
+            y = tr["t_s1"]
+            df["c_syy"] = y * y
+            df["c_sxy"] = x * y
         df = df.sort_values(["source", "_ts"], kind="stable", ignore_index=True)
         if len(df):
             sv = df["source"].to_numpy()
@@ -462,6 +477,22 @@ class StreamDriver:
                 "tok_skew": (get_spec("skewness"), ("t_n", "t_s1", "t_s2", "t_s3")),
                 "tok_kurt": (get_spec("kurtosis"), ("t_n", "t_s1", "t_s2", "t_s3", "t_s4")),
             }
+        if self.cfg.comoment_stats:
+            # bivariate corr/cov(x=n_tok, y=row token sum): needs the
+            # unweighted x sums to order 2, y (== group-summed t_s1,
+            # already in needed via token_stats), plus two new sum
+            # columns — the comoment finalizers run through the same
+            # remap path as the token outputs
+            from raystat.comoments import get_comoment
+
+            self.u_order = max(self.u_order, 2)
+            for c in ("u_n", "u_s1", "u_s2"):
+                if c not in self.needed:
+                    self.needed = tuple(self.needed) + (c,)
+            self.needed = tuple(self.needed) + ("c_syy", "c_sxy")
+            co_cols = ("u_n", "u_s1", "t_s1", "u_s2", "c_syy", "c_sxy")
+            self.token_outputs["len_tok_corr"] = (get_comoment("correlation"), co_cols)
+            self.token_outputs["len_tok_cov"] = (get_comoment("covariance"), co_cols)
         self.sink = ExactlyOnceParquetSink(out_dir, "agg")
         self.pass_sink = (
             ExactlyOnceParquetSink(out_dir, "passthrough")

@@ -804,3 +804,65 @@ def test_ingest_error_surfaces_at_barrier(ray_session):
             break
         _t.sleep(0.1)
     assert raised, "ingest error never surfaced via the barrier probe"
+
+
+def test_streaming_comoments_match_replay(ray_session, fixture_dir, replay):
+    """Streaming corr/cov(n_tok, row token sum) through the state
+    actors equals the brute-force pandas replay per (source, window),
+    and survives crash/resume bit-identically."""
+    rdf, _ = replay
+    out = "/tmp/rs_pytest_comom"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = make_cfg(passthrough=False, token_stats=True, comoment_stats=True)
+    drv = StreamDriver(fixture_dir, out, cfg, metadata=metadata_rows(N_EPOCHS))
+    drv.run()
+    got = (
+        drv.result_table()
+        .to_pandas()
+        .sort_values(["source", "window_start"], ignore_index=True)
+    )
+
+    # token sums per doc from the fixture files
+    tok_sum = {}
+    for f in sorted(glob.glob(os.path.join(fixture_dir, "arrival=*", "*.parquet"))):
+        t = pq.read_table(f, columns=["doc_id", "tokens"])
+        for did, toks in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
+            tok_sum[did] = float(np.sum(toks)) if toks else 0.0
+    df = rdf[rdf["accepted"]].copy()
+    df["window_start"] = df["ws"]
+    df["y"] = df["doc_id"].map(tok_sum)
+    df["x"] = df["n_tok"].astype(float)
+
+    def corr_cov(g):
+        x, y = g["x"].to_numpy(), g["y"].to_numpy()
+        n = len(x)
+        cov = (x * y).sum() / n - x.mean() * y.mean()
+        vx = (x * x).sum() / n - x.mean() ** 2
+        vy = (y * y).sum() / n - y.mean() ** 2
+        corr = 0.0 if vx == 0 or vy == 0 else cov / np.sqrt(max(vx, 0) * max(vy, 0))
+        return pd.Series({"len_tok_corr": corr, "len_tok_cov": cov})
+
+    exp = (
+        df.groupby(["source", "window_start"])
+        .apply(corr_cov, include_groups=False)
+        .reset_index()
+        .sort_values(["source", "window_start"], ignore_index=True)
+    )
+    m = got.merge(exp, on=["source", "window_start"], suffixes=("", "_exp"))
+    assert len(m) == len(exp) == len(got)
+    np.testing.assert_allclose(m["len_tok_corr"], m["len_tok_corr_exp"], rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(m["len_tok_cov"], m["len_tok_cov_exp"], rtol=1e-9, atol=1e-9)
+
+    # crash/resume: identical output incl. the comoment columns
+    out2 = "/tmp/rs_pytest_comom_resume"
+    shutil.rmtree(out2, ignore_errors=True)
+    d1 = StreamDriver(fixture_dir, out2, cfg, metadata=metadata_rows(N_EPOCHS))
+    d1.run(stop_after_epoch=1)
+    d2 = StreamDriver(fixture_dir, out2, cfg, metadata=metadata_rows(N_EPOCHS))
+    d2.run(resume=True)
+    b = (
+        d2.result_table()
+        .to_pandas()
+        .sort_values(["source", "window_start"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, b, check_like=True)
