@@ -26,6 +26,7 @@ __all__ = [
     "grouped_trimmed_mean",
     "grouped_mode",
     "grouped_mad",
+    "grouped_topk",
 ]
 
 
@@ -192,3 +193,35 @@ def grouped_mad(ds, ds_again, key: str, value: str):
     ).to_pandas()
     out = med.merge(mad, on=key)
     return out[[key, "med", "mad"]]
+
+
+def grouped_topk(ds, key: str, value: str, k: int = 10, extra_cols: list | None = None):
+    """Top-k rows per group by ``value`` (desc; ties broken by the
+    extra columns' order being irrelevant — callers wanting
+    deterministic ties should pass a unique tiebreak in ``value``).
+    Per-batch combiner keeps only k rows per (key, batch), so the
+    shuffle carries O(k x |keys| x #batches) rows, never the input."""
+
+    extra = list(extra_cols or [])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {c: batch[c].to_pandas() for c in [key, value] + extra}
+        )
+        g = (
+            df.sort_values(value, ascending=False, kind="stable")
+            .groupby(key, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(value, ascending=False, kind="stable").head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .map_groups(final, batch_format="pandas")
+    )

@@ -29,6 +29,8 @@ __all__ = [
     "grouped_hll_distinct",
     "grouped_exact_distinct",
     "grouped_entropy",
+    "mg_merge",
+    "grouped_mg_topk",
 ]
 
 HLL_P = 12  # 4096 registers, ~1.6% standard error
@@ -174,4 +176,50 @@ def grouped_entropy(ds, key: str, value: str):
         .aggregate(Sum("n", alias_name="n"))
         .groupby(key)
         .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def mg_merge(counters: pd.Series, k: int) -> pd.Series:
+    """Misra-Gries MERGE (Agarwal et al. 2012, public algorithm): sum
+    counters by item, then if more than k-1 survive, subtract the k-th
+    largest count from all and drop the non-positive — the summary
+    keeps <= k-1 counters and under-counts any item by at most n/k."""
+    if len(counters) <= k - 1:
+        return counters
+    vals = counters.to_numpy()
+    kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+    out = counters - kth
+    return out[out > 0]
+
+
+def grouped_mg_topk(ds, key: str, value: str, k: int = 64, top: int = 10):
+    """Approximate per-group heavy hitters via mergeable Misra-Gries
+    summaries: per-batch exact (key, value) counts collapse each batch
+    (the combiner), one groupby merges summaries with the MG rule —
+    state is <= k-1 counters per group regardless of the value domain,
+    the property the exact histogram path loses on unbounded vocab.
+    Counts are exact whenever a group's distinct-value count stays
+    below k (no decrement ever fires); pytest covers the lossy
+    regime's n/k error bound.  Returns top-``top`` per group
+    (ties -> smallest value), like the exact heavy-hitter query."""
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], value: batch[value]})
+        agg = t.group_by([key, value]).aggregate([([], "count_all")])
+        return agg.rename_columns([key, value, "n"])
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(value)["n"].sum()
+        c = mg_merge(c, k)
+        out = c.reset_index().sort_values(
+            ["n", value], ascending=[False, True], ignore_index=True
+        ).head(top)
+        out[key] = g[key].iloc[0]
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[[key, value, "n", "rank"]]
+
+    return (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge_topk, batch_format="pandas")
     )

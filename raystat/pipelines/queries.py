@@ -2123,6 +2123,39 @@ def _q_zscore_outliers(sf_dir):
     )
 
 
+def _q_top_events(sf_dir):
+    """Top-5 events by value per type via the generic grouped top-k
+    (per-batch prune combiner: the shuffle carries O(k x keys x
+    batches) rows).  The sort key packs (value cents, event_id) into
+    one int64 so ties are deterministic on both sides."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raystat.dataops.quantiles import grouped_topk
+
+    def sortkey(b: pa.Table) -> pa.Table:
+        v = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        sk = v * np.int64(10_000_000) + b["event_id"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return b.append_column("sortkey", pa.array(sk))
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"]).map_batches(
+        sortkey, batch_format="pyarrow"
+    )
+    out = grouped_topk(
+        ds, key="event_type", value="sortkey", k=5,
+        extra_cols=["event_id", "value"],
+    )
+
+    def drop(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["sortkey"])
+
+    return out.map_batches(drop, batch_format="pyarrow")
+
+
 _ZS = (
     "WITH s AS (SELECT event_type, sum(value) AS s1, sum(value*value) AS s2,"
     " cast(count(*) AS double) AS n FROM events GROUP BY 1),"
@@ -2165,6 +2198,17 @@ QUERIES.extend(
                                0.5)/100.0 AS mad
                FROM events e JOIN m USING (event_type)
                GROUP BY e.event_type""",
+        ),
+        QueryDef(
+            "top_events_by_value",
+            _q_top_events,
+            """WITH r AS (SELECT event_type, event_id, value,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY cast(round(value*100) AS bigint)*10000000
+                               + event_id DESC) AS rank
+                  FROM events)
+               SELECT event_type, event_id, value, cast(rank AS bigint) AS rank
+               FROM r WHERE rank <= 5""",
         ),
         QueryDef(
             "zscore_outliers_events",
@@ -2441,6 +2485,50 @@ def _redact_sql() -> str:
 
 
 QUERIES.append(QueryDef("redact_pii_documents", _q_redact_pii, _redact_sql()))
+
+
+def _q_mg_top_tokens(sf_dir):
+    """Per-source top-10 tokens via the mergeable Misra-Gries
+    heavy-hitter summary — the bounded-state path for UNBOUNDED
+    vocabularies.  k=4096 exceeds this corpus's per-source distinct
+    tokens, so the summary is lossless here and shares the exact
+    heavy-hitter oracle; the lossy regime's n/k bound is
+    pytest-verified on a zipf fixture."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raystat.dataops.sketches import grouped_mg_topk
+    from raystat.pipelines.tokens import tokenize_documents
+
+    def flat(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        return pa.table(
+            {
+                "source": batch["source"].take(parents),
+                "token": pc.cast(pc.list_flatten(toks), pa.int64()),
+            }
+        )
+
+    ds = tokenize_documents(sf_dir).map_batches(
+        flat, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_mg_topk(ds, key="source", value="token", k=4096, top=10)
+
+
+QUERIES.append(
+    QueryDef(
+        "mg_top_tokens_by_source",
+        _q_mg_top_tokens,
+        f"""WITH f AS ({TOK_FLAT_SQL}),
+            c AS (SELECT source, cast(token AS bigint) AS token,
+                         count(*) AS n FROM f GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source
+                    ORDER BY n DESC, token) AS rank FROM c)
+            SELECT source, token, n, cast(rank AS bigint) AS rank
+            FROM r WHERE rank <= 10""",
+    )
+)
 
 
 QUERIES.append(

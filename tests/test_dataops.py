@@ -1078,3 +1078,32 @@ def test_grouped_entropy(ray_session):
     assert abs(got.loc["u", "entropy"] - np.log(16)) < 0.01
     assert got.loc["u", "n_distinct"] == 16
     assert got.loc["s", "entropy"] == 0.0 and got.loc["s", "n_distinct"] == 1
+
+
+def test_mg_heavy_hitters_lossy_bound(ray_session):
+    """Misra-Gries in the LOSSY regime (distinct >> k): every true
+    heavy hitter (count > 2n/k) survives the distributed merge and is
+    under-counted by at most ~n/k."""
+    import ray.data as rd
+
+    from raystat.dataops.sketches import grouped_mg_topk
+
+    rng = np.random.default_rng(0)
+    vals = rng.zipf(1.5, 150_000)
+    vals = vals[vals < 1_000_000].astype(np.int64)
+    n = len(vals)
+    k = 200
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(["g"] * n), "v": pa.array(vals)})
+    ).repartition(16)
+    got = to_pandas(grouped_mg_topk(ds, key="k", value="v", k=k, top=10))
+    true = pd.Series(vals).value_counts()
+    est = dict(zip(got["v"], got["n"]))
+    for item in true.index[:10]:
+        assert true[item] > 2 * n / k  # the fixture really is heavy-tailed
+        assert item in est, item  # heavy hitters survive
+        # MG only under-counts, by at most the total decrement (~n/k,
+        # amplified by per-partition merging; 3n/k is a safe envelope)
+        assert 0 <= true[item] - est[item] <= 3 * n / k, (item, true[item], est[item])
+    # rank-1 item is the true most frequent
+    assert got.sort_values("rank").iloc[0]["v"] == true.index[0]
