@@ -28,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salts", type=int, default=8, help="salt buckets per source")
     p.add_argument("--batch-size", type=int, default=32768)
     p.add_argument("--token-stats", action="store_true", help="also token-value moments")
+    p.add_argument(
+        "--comoments",
+        action="store_true",
+        help="also corr/cov(n_tok, token sum) per window (implies --token-stats)",
+    )
     p.add_argument("--passthrough", action="store_true", help="exact per-row passthrough sink")
     p.add_argument("--emit-changes", action="store_true", help="EMIT CHANGES changelog sink")
     p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
@@ -64,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
         n_partitions=args.partitions,
         n_salts=args.salts,
         batch_size=args.batch_size,
-        token_stats=args.token_stats,
+        token_stats=args.token_stats or args.comoments,
+        comoment_stats=args.comoments,
         passthrough=args.passthrough,
         emit_changes=args.emit_changes,
         file_format=args.format,
