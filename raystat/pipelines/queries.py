@@ -2376,6 +2376,90 @@ QUERIES.extend(
 )
 
 
+def _q_revenue_by_nation(sf_dir):
+    """TPC-H-flavoured star query: revenue per nation.  The BIG x BIG
+    edge (lineitem x orders) goes through the distributed hash join
+    (one co-partitioning exchange); the small dimensions
+    (customer -> nation) ship once as a broadcast map — the two join
+    strategies composed the way a 100 TB plan would."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from raystat.dataops.joins import hash_join
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"],
+            cust["c_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"]))),
+        )
+    )
+
+    def add_nation(b: pa.Table) -> pa.Table:
+        n = pd.Series(b["o_custkey"].to_numpy(zero_copy_only=False)).map(
+            cust_to_nation
+        )
+        return pa.table(
+            {"l_orderkey": b["o_orderkey"], "n_name": pa.array(n, pa.string())}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        add_nation, batch_format="pyarrow"
+    )
+
+    def rev_term(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "rev": pa.array(ep * (1.0 - dc))}
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(rev_term, batch_format="pyarrow")
+
+    joined = hash_join(li, orders, on="l_orderkey", n_parts=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"n_name": b["n_name"], "revenue": b["rev"]})
+        agg = t.group_by("n_name").aggregate(
+            [("revenue", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(["n_name", "revenue", "n_items"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items")
+        )
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "revenue_by_nation",
+        _q_revenue_by_nation,
+        """SELECT n_name,
+              sum(l_extendedprice * (1 - l_discount)) AS revenue,
+              count(*) AS n_items
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           GROUP BY n_name""",
+    )
+)
+
+
 def _q_asof_purchase_events(sf_dir):
     """Point-in-time enrichment: each click/view event joined to the
     user's latest purchase at-or-before it (distributed as-of join,

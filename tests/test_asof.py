@@ -134,3 +134,43 @@ def test_right_col_collision_raises(ray_session):
     rds = rd.from_pandas(right[["k", "ts", "rv"]])
     with pytest.raises(ValueError, match="collide"):
         asof_join(lds, rds, by="k", on="ts", right_cols=["rv"])
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from raystat.dataops.joins import hash_join
+
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50, 3_000), "a": rng.normal(size=3_000)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 80, 400), "b": rng.normal(size=400)}
+    )
+    for how in ("inner", "left"):
+        got = (
+            hash_join(
+                rd.from_pandas(left).repartition(6),
+                rd.from_pandas(right).repartition(3),
+                on="k",
+                n_parts=8,
+                how=how,
+            )
+            .to_pandas()
+            .sort_values(["k", "a", "b"], ignore_index=True)
+        )
+        exp = left.merge(right, on="k", how=how).sort_values(
+            ["k", "a", "b"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_hash_join_column_collision(ray_session):
+    import ray.data as rd
+
+    from raystat.dataops.joins import hash_join
+
+    df = pd.DataFrame({"k": [1], "x": [1.0]})
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(rd.from_pandas(df), rd.from_pandas(df), on="k")
