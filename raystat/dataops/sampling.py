@@ -67,3 +67,25 @@ def split_dataset(ds, id_col: str = "doc_id", splits: tuple = DEFAULT_SPLITS):
         return assign_split_batch(batch, id_col, splits)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds, pct_by_key: dict, key_col: str = "source",
+                      id_col: str = "doc_id", default_pct: int = 0):
+    """Per-stratum deterministic sampling: each key keeps its own hash
+    percentile cut (e.g. downsample a dominant source to 10% while
+    keeping 100% of a rare one).  Still a pure streaming row predicate
+    — the O(strata) pct map rides the closure; no shuffle."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cuts = (
+            pd.Series(batch[key_col].to_numpy(zero_copy_only=False))
+            .map(pct_by_key)
+            .fillna(default_pct)
+            .to_numpy(dtype=np.int64)
+        )
+        return batch.filter(pa.array(hash_pct(ids) < cuts))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

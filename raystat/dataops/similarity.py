@@ -23,6 +23,7 @@ __all__ = [
     "ivf_index",
     "ann_topk_ivf",
     "label_centroids",
+    "quantize_embeddings",
 ]
 
 
@@ -119,6 +120,36 @@ def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Symmetric per-vector int8 quantization (the storage scale path:
+    4x smaller vectors for ANN recall stages).  scale = max|v|/127;
+    q = clip(floor(v/scale + 0.5), -127, 127) — the floor(x+0.5)
+    rounding is chosen because DuckDB's floor reproduces it exactly
+    (SQL twin in queries.py).  Zero-shuffle map_batches; emits the
+    int8 vector + scale."""
+    import pyarrow as pa
+
+    def qz(batch: pa.Table) -> pa.Table:
+        X = _stack(batch[vec_col])
+        scale = np.abs(X).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.clip(np.floor(X / safe[:, None] + 0.5), -127, 127).astype(np.int8)
+        q[scale == 0.0] = 0
+        n, d = q.shape
+        offs = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "scale": pa.array(scale, pa.float64()),
+                "qvec": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(q.ravel(), pa.int8())
+                ),
+            }
+        )
+
+    return ds.map_batches(qz, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def ann_topk(

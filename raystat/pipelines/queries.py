@@ -1556,6 +1556,20 @@ QUERIES.extend(
                        WHEN h < 90 THEN 'val' ELSE 'test' END AS split
                 FROM smh""",
         ),
+        QueryDef(
+            "stratified_sample_documents",
+            lambda sf_dir: __import__(
+                "raystat.dataops.sampling", fromlist=["stratified_sample"]
+            ).stratified_sample(
+                _docs(sf_dir),
+                {"src0": 100, "src1": 50},
+                default_pct=10,
+            ).select_columns(["doc_id", "source"]),
+            f"""WITH {SPLITMIX_PCT_CTE}
+                SELECT doc_id, source FROM smh
+                WHERE h < CASE source WHEN 'src0' THEN 100
+                                      WHEN 'src1' THEN 50 ELSE 10 END""",
+        ),
     ]
 )
 
@@ -2703,6 +2717,59 @@ QUERIES.append(
         """SELECT label, cast(i AS bigint) AS dim,
                   sum(embedding[i+1])/count(*) AS mean
            FROM embeddings, range(64) t(i) GROUP BY 1, 2""",
+    )
+)
+
+
+def _q_quantize_embeddings(sf_dir):
+    """int8 embedding quantization, verified by value checksums over
+    the quantized vectors (the list itself hashes poorly across
+    engines; qsum/qss pin every element)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raystat.dataops.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+    def checksums(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = b["qvec"].combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        qsum = np.bincount(parents, weights=flat, minlength=n).astype(np.int64)
+        qss = np.bincount(parents, weights=flat * flat, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "scale": b["scale"],
+                "qsum": pa.array(qsum),
+                "qss": pa.array(qss),
+            }
+        )
+
+    return q.map_batches(checksums, batch_format="pyarrow")
+
+
+QUERIES.append(
+    QueryDef(
+        "quantize_embeddings",
+        _q_quantize_embeddings,
+        """WITH m AS (SELECT vec_id, embedding,
+                 list_aggregate(list_transform(embedding, x -> abs(x)), 'max')/127.0
+                   AS scale
+               FROM embeddings),
+           q AS (SELECT vec_id, scale,
+                 list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE greatest(least(cast(floor(x/scale + 0.5) AS bigint), 127),
+                                 -127) END) AS qv
+               FROM m)
+           SELECT vec_id, scale,
+             cast(list_sum(qv) AS bigint) AS qsum,
+             cast(list_sum(list_transform(qv, x -> x*x)) AS bigint) AS qss
+           FROM q""",
     )
 )
 

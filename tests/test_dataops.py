@@ -1107,3 +1107,35 @@ def test_mg_heavy_hitters_lossy_bound(ray_session):
         assert 0 <= true[item] - est[item] <= 3 * n / k, (item, true[item], est[item])
     # rank-1 item is the true most frequent
     assert got.sort_values("rank").iloc[0]["v"] == true.index[0]
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    import ray.data as rd
+
+    from raystat.dataops.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(6)
+    X = rng.normal(0, 1, (200, 16))
+    X[0] = 0.0  # all-zero vector edge case
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array(list(X)),
+        }
+    )
+    out = (
+        quantize_embeddings(rd.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    for i in range(200):
+        q = np.asarray(out["qvec"][i], dtype=np.int64)
+        s = out["scale"][i]
+        assert q.min() >= -127 and q.max() <= 127
+        if i == 0:
+            assert s == 0.0 and (q == 0).all()
+            continue
+        # dequantization error bounded by half a quantization step
+        assert np.abs(q * s - X[i]).max() <= s / 2 + 1e-12
+        # the max-|v| element hits full scale
+        assert np.abs(q).max() == 127
