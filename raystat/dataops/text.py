@@ -19,6 +19,7 @@ __all__ = [
     "BPE_PATTERN",
     "quality_score_batch",
     "redact_pii_batch",
+    "normalize_text_batch",
     "EMAIL_PATTERN",
     "PHONE_PATTERN",
     "lang_id_batch",
@@ -78,6 +79,24 @@ def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out[text_col] = red
     out["n_emails"] = n_emails
     out["n_phones"] = n_phones
+    return pa.table(out)
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical cleaning pass: lowercase (ASCII), strip punctuation
+    runs to one space, collapse whitespace runs, trim — all Arrow RE2
+    kernels (SQL twin: lower + the same regexp_replace chain)."""
+    import pyarrow.compute as pc
+
+    t = pc.coalesce(batch[text_col], pa.scalar("", pa.string()))
+    t = pc.ascii_lower(t)
+    t = pc.replace_substring_regex(t, pattern=r"[.!?,;:]+", replacement=" ")
+    t = pc.replace_substring_regex(
+        t, pattern=f"[{WS_CLASS}]+", replacement=" "
+    )
+    t = pc.replace_substring_regex(t, pattern=r"^ +| +$", replacement="")
+    out = {c: batch[c] for c in batch.column_names if c != text_col}
+    out[text_col] = t
     return pa.table(out)
 
 

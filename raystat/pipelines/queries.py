@@ -2585,6 +2585,60 @@ def _redact_sql() -> str:
 QUERIES.append(QueryDef("redact_pii_documents", _q_redact_pii, _redact_sql()))
 
 
+def _q_normalize_text(sf_dir):
+    """Text normalization (lowercase, strip punctuation, collapse
+    whitespace) over documents with deterministic mixed-case/punct
+    noise injected (the corpus is already clean), verified by md5 of
+    the normalized text."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raystat.dataops.text import normalize_text_batch
+
+    def inject(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.string())
+        t = pc.binary_join_element_wise(
+            pc.coalesce(b["text"], pa.scalar("", pa.string())),
+            "  The QUICK,Brown;FOX!!   doc#", did, " END.\t", "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    def checksum(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        md5 = pa.array([hashlib.md5(t.encode()).hexdigest() for t in texts])
+        n = pa.array([len(t) for t in texts], pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "norm_md5": md5, "n_chars": n})
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(normalize_text_batch, batch_format="pyarrow")
+        .map_batches(checksum, batch_format="pyarrow")
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "normalize_text_documents",
+        _q_normalize_text,
+        r"""WITH inj AS (SELECT doc_id,
+              coalesce(text,'') || '  The QUICK,Brown;FOX!!   doc#'
+              || cast(doc_id AS varchar) || ' END.' || chr(9) AS t
+            FROM documents),
+        n1 AS (SELECT doc_id,
+              regexp_replace(lower(t), '[.!?,;:]+', ' ', 'g') AS t FROM inj),
+        n2 AS (SELECT doc_id,
+              regexp_replace(t, '[ \t\n\x0b\f\r]+', ' ', 'g') AS t FROM n1),
+        n3 AS (SELECT doc_id,
+              regexp_replace(t, '^ +| +$', '', 'g') AS t FROM n2)
+        SELECT doc_id, md5(t) AS norm_md5, cast(length(t) AS bigint) AS n_chars
+        FROM n3""",
+    )
+)
+
+
 def _q_mg_top_tokens(sf_dir):
     """Per-source top-10 tokens via the mergeable Misra-Gries
     heavy-hitter summary — the bounded-state path for UNBOUNDED
@@ -2721,6 +2775,100 @@ QUERIES.append(
 )
 
 
+def _q_rollup_token_stats(sf_dir):
+    """Multi-granularity aggregates from ONE input pass: the finest
+    (source, window) partial power sums are computed once; coarser
+    levels (per-source, global) come from re-merging those partials —
+    the mergeability of the accumulator state is exactly what makes
+    rollups free (no second scan).  SQL twin: GROUPING SETS."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from raystat.accumulators import get_spec
+    from raystat.extract import add_event_time
+    from raystat.pipelines.tokens import tokenize_documents
+    from raystat.aggregate import partial_sums
+    from raystat.windows import Tumbling, assign_windows
+
+    win = Tumbling(21600)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch, ws = assign_windows(batch, "ts", win)
+        x = batch["n_tok"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return partial_sums(
+            {"source": batch["source"], "window_start": pa.array(ws, pa.int64())},
+            x, x, u_order=2, w_order=2,
+        )
+
+    fine = (
+        tokenize_documents(sf_dir)
+        .map_batches(add_event_time, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "window_start"])
+        .aggregate(*[Sum(c, alias_name=c) for c in
+                     ("u_n", "u_s1", "u_s2", "w_sw", "w_sv", "w_s2")])
+        .to_pandas()  # O(sources x windows) — metadata-sized
+    )
+    sums = ["u_n", "u_s1", "u_s2", "w_sw", "w_sv", "w_s2"]
+    per_source = fine.groupby("source", as_index=False)[sums].sum()
+    per_source["window_start"] = np.int64(-1)
+    glob = fine[sums].sum().to_frame().T
+    glob["source"] = "_all"
+    glob["window_start"] = np.int64(-1)
+    fine2 = fine.copy()
+    levels = [
+        ("window", fine2),
+        ("source", per_source),
+        ("global", glob),
+    ]
+    wavg = get_spec("weighted_average")
+    wstd = get_spec("stddev_weighted")
+    frames = []
+    for name, df in levels:
+        cols = {c: df[c].to_numpy(dtype=np.float64) for c in sums}
+        out = pd.DataFrame(
+            {
+                "level": name,
+                "source": df["source"].to_numpy(),
+                "window_start": df["window_start"].to_numpy(dtype=np.int64),
+                "wavg": np.atleast_1d(
+                    wavg.finalize_arrays({"w_sv": cols["w_sv"], "w_sw": cols["w_sw"]})
+                ),
+                "wstd": np.atleast_1d(
+                    wstd.finalize_arrays(
+                        {"w_sv": cols["w_sv"], "w_sw": cols["w_sw"], "w_s2": cols["w_s2"]}
+                    )
+                ),
+                "n_rows": cols["u_n"].astype(np.int64),
+            }
+        )
+        frames.append(out)
+    return pd.concat(frames, ignore_index=True)
+
+
+QUERIES.append(
+    QueryDef(
+        "rollup_token_stats",
+        _q_rollup_token_stats,
+        f"""WITH t AS (SELECT source, {TOK_WS_SQL} AS window_start,
+                  cast({N_TOK_SQL} AS double) AS x
+                FROM documents)
+            SELECT CASE WHEN window_start IS NOT NULL THEN 'window'
+                        WHEN source IS NOT NULL THEN 'source'
+                        ELSE 'global' END AS level,
+              coalesce(source, '_all') AS source,
+              coalesce(window_start, -1) AS window_start,
+              {sql_wavg('x', 'x')} AS wavg,
+              {sql_wstd('x', 'x')} AS wstd,
+              count(*) AS n_rows
+            FROM t
+            GROUP BY GROUPING SETS ((source, window_start), (source), ())""",
+    )
+)
+
+
 def _q_quantize_embeddings(sf_dir):
     """int8 embedding quantization, verified by value checksums over
     the quantized vectors (the list itself hashes poorly across
@@ -2770,6 +2918,66 @@ QUERIES.append(
              cast(list_sum(qv) AS bigint) AS qsum,
              cast(list_sum(list_transform(qv, x -> x*x)) AS bigint) AS qss
            FROM q""",
+    )
+)
+
+
+def _q_ann_quantized_recall(sf_dir):
+    """ANN over int8-QUANTIZED vectors gated on recall vs the exact
+    float path (>= 0.8 per query; measured 1.0 on the gaussian driver
+    embeddings — 64-dim symmetric int8 loses ~0.4% cosine accuracy).
+    Everything is deterministic, so the boolean is stable per sf."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raystat.dataops.similarity import ann_topk, quantize_embeddings
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).slice(0, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qids = qt["vec_id"].to_numpy()
+    exact = ann_topk(emb, Q, qids, k=10)
+
+    def dequant(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = b["qvec"].combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b.num_rows
+        X = flat.reshape(n, -1) * b["scale"].to_numpy(zero_copy_only=False)[:, None]
+        d = X.shape[1]
+        offs = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "embedding": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(X.ravel())
+                ),
+            }
+        )
+
+    qds = quantize_embeddings(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ).map_batches(dequant, batch_format="pyarrow")
+    approx = ann_topk(qds, Q, qids, k=10)
+    rows = []
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        p = set(approx[approx["query_id"] == q]["neighbor_id"])
+        rows.append((int(q), len(e & p) / max(len(e), 1) >= 0.8))
+    return pd.DataFrame(rows, columns=["query_id", "recall_ok"])
+
+
+QUERIES.append(
+    QueryDef(
+        "ann_topk_quantized_recall",
+        _q_ann_quantized_recall,
+        """SELECT vec_id AS query_id, true AS recall_ok
+           FROM embeddings WHERE vec_id < 5""",
     )
 )
 
