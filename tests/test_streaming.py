@@ -866,3 +866,71 @@ def test_streaming_comoments_match_replay(ray_session, fixture_dir, replay):
         .sort_values(["source", "window_start"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, b, check_like=True)
+
+
+def test_streaming_session_comoments_match_bruteforce(ray_session, fixture_dir):
+    """Session-mode comoments: streaming corr/cov(n_tok, token sum) per
+    (source, session) equals a pandas sessionize-and-compute replay
+    (lateness set huge so every row is accepted)."""
+    out = "/tmp/rs_pytest_sess_comom"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = make_cfg(
+        passthrough=False,
+        session_gap_s=7200,
+        allowed_lateness_s=10**9,
+        token_stats=True,
+        comoment_stats=True,
+    )
+    drv = StreamDriver(fixture_dir, out, cfg, metadata=metadata_rows(N_EPOCHS))
+    drv.run()
+    got = (
+        drv.result_table()
+        .to_pandas()
+        .sort_values(["source", "window_start"], ignore_index=True)
+    )
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(fixture_dir, "arrival=*", "*.parquet"))):
+        t = pq.read_table(f, columns=["doc_id", "tokens", "n_tok", "source"])
+        ids = numeric_doc_id(t["doc_id"])
+        ts = event_time_us_from_numeric(ids)
+        for did, toks, n, src, tu in zip(
+            t["doc_id"].to_pylist(), t["tokens"].to_pylist(),
+            t["n_tok"].to_pylist(), t["source"].to_pylist(), ts
+        ):
+            rows.append((src, int(tu), float(n), float(np.sum(toks)) if toks else 0.0))
+    df = pd.DataFrame(rows, columns=["source", "tu", "x", "y"]).sort_values(
+        ["source", "tu"], kind="stable", ignore_index=True
+    )
+    gap_us = 7200 * 1_000_000
+    brk = np.ones(len(df), dtype=bool)
+    sv, tv = df["source"].to_numpy(), df["tu"].to_numpy()
+    brk[1:] = (sv[1:] != sv[:-1]) | ((tv[1:] - tv[:-1]) > gap_us)
+    df["sess"] = np.cumsum(brk)
+
+    def cc(g):
+        x, y = g["x"].to_numpy(), g["y"].to_numpy()
+        n = len(x)
+        cov = (x * y).sum() / n - x.mean() * y.mean()
+        vx = (x * x).sum() / n - x.mean() ** 2
+        vy = (y * y).sum() / n - y.mean() ** 2
+        corr = 0.0 if vx == 0 or vy == 0 else cov / np.sqrt(max(vx, 0) * max(vy, 0))
+        return pd.Series(
+            {
+                "source": g["source"].iloc[0],
+                "window_start": np.int64(g["tu"].min()),
+                "len_tok_corr": corr,
+                "len_tok_cov": cov,
+            }
+        )
+
+    exp = (
+        df.groupby("sess")
+        .apply(cc, include_groups=False)
+        .reset_index(drop=True)
+        .sort_values(["source", "window_start"], ignore_index=True)
+    )
+    m = got.merge(exp, on=["source", "window_start"], suffixes=("", "_e"))
+    assert len(m) == len(exp) == len(got)
+    np.testing.assert_allclose(m["len_tok_corr"], m["len_tok_corr_e"], rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(m["len_tok_cov"], m["len_tok_cov_e"], rtol=1e-9, atol=1e-9)
