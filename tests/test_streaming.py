@@ -934,3 +934,65 @@ def test_streaming_session_comoments_match_bruteforce(ray_session, fixture_dir):
     assert len(m) == len(exp) == len(got)
     np.testing.assert_allclose(m["len_tok_corr"], m["len_tok_corr_e"], rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(m["len_tok_cov"], m["len_tok_cov_e"], rtol=1e-9, atol=1e-9)
+
+
+def test_streaming_hopping_comoments_match_bruteforce(ray_session, fixture_dir):
+    """Hopping-mode comoments: the window-expansion (row_of) path of
+    the c_syy/c_sxy sums vs a pandas expand-and-compute replay
+    (lateness huge -> every row in every covering window)."""
+    size_s, hop_s = 2 * WINDOW_S, WINDOW_S
+    out = "/tmp/rs_pytest_hop_comom"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = make_cfg(
+        passthrough=False,
+        window_size_s=size_s,
+        hop_s=hop_s,
+        allowed_lateness_s=10**9,
+        token_stats=True,
+        comoment_stats=True,
+    )
+    drv = StreamDriver(fixture_dir, out, cfg, metadata=metadata_rows(N_EPOCHS))
+    drv.run()
+    got = (
+        drv.result_table()
+        .to_pandas()
+        .sort_values(["source", "window_start"], ignore_index=True)
+    )
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(fixture_dir, "arrival=*", "*.parquet"))):
+        t = pq.read_table(f, columns=["doc_id", "tokens", "n_tok", "source"])
+        ts = event_time_us_from_numeric(numeric_doc_id(t["doc_id"]))
+        for toks, n, src, tu in zip(
+            t["tokens"].to_pylist(), t["n_tok"].to_pylist(),
+            t["source"].to_pylist(), ts
+        ):
+            ts_s = int(tu) // 1_000_000
+            k_last = ts_s // hop_s
+            k_min = (ts_s - size_s) // hop_s + 1
+            for k in range(k_min, k_last + 1):
+                rows.append(
+                    (src, k * hop_s, float(n),
+                     float(np.sum(toks)) if toks else 0.0)
+                )
+    df = pd.DataFrame(rows, columns=["source", "window_start", "x", "y"])
+
+    def cc(g):
+        x, y = g["x"].to_numpy(), g["y"].to_numpy()
+        n = len(x)
+        cov = (x * y).sum() / n - x.mean() * y.mean()
+        vx = (x * x).sum() / n - x.mean() ** 2
+        vy = (y * y).sum() / n - y.mean() ** 2
+        corr = 0.0 if vx == 0 or vy == 0 else cov / np.sqrt(max(vx, 0) * max(vy, 0))
+        return pd.Series({"len_tok_corr": corr, "len_tok_cov": cov})
+
+    exp = (
+        df.groupby(["source", "window_start"])
+        .apply(cc, include_groups=False)
+        .reset_index()
+        .sort_values(["source", "window_start"], ignore_index=True)
+    )
+    m = got.merge(exp, on=["source", "window_start"], suffixes=("", "_e"))
+    assert len(m) == len(exp) == len(got)
+    np.testing.assert_allclose(m["len_tok_corr"], m["len_tok_corr_e"], rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(m["len_tok_cov"], m["len_tok_cov_e"], rtol=1e-9, atol=1e-9)
