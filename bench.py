@@ -63,10 +63,10 @@ def _warm_engine_path(fix: str, ncpu: int) -> None:
     from raystat.streaming.driver import StreamConfig, _partial_stage
     from raystat.streaming.state import Router, StatePartition
 
-    cfg = StreamConfig(window_size_s=3600, n_salts=8, token_stats=True)
+    cfg = StreamConfig(window_size_s=3600, n_salts=8, token_stats=True, comoment_stats=True)
     resolved = {k: get_spec(v) for k, v in cfg.specs.items()}
     needed, u, w = canonical_sums_for(resolved.values())
-    needed = tuple(needed) + ("t_n", "t_s1", "t_s2", "t_s3", "t_s4")
+    needed = tuple(needed) + ("t_n", "t_s1", "t_s2", "t_s3", "t_s4", "c_syy", "c_sxy")
     actors = [
         StatePartition.remote(p, list(needed), cfg.window_size_s)
         for p in range(N_PARTITIONS)
@@ -166,6 +166,7 @@ def main() -> None:
         n_salts=8,
         batch_size=32768,
         token_stats=True,  # token-length AND token-value statistics
+        comoment_stats=True,  # + bivariate corr/cov(n_tok, token sum)
     )
     headline_samples = []
     epoch_secs = tail_sec = None

@@ -314,10 +314,11 @@ def _passthrough_tokens(sf_dir):
 
 
 def _streaming_tokens(sf_dir):
-    """The flagship full-surface streaming run (token-length AND
-    token-value moments per window), now driver-verified: every output
-    column except the commit epoch is SQL-expressible (window_end =
-    window_start + size; n_rows = count)."""
+    """The flagship full-surface streaming run (token-length moments,
+    token-value moments, AND bivariate corr/cov(n_tok, token sum) per
+    window), driver-verified: every output column except the commit
+    epoch is SQL-expressible (window_end = window_start + size;
+    n_rows = count)."""
     from raystat.fixtures import epoch_len_us
     from raystat.pipelines.tokens import documents_stream_fixture
     from raystat.streaming import StreamConfig, StreamDriver
@@ -335,6 +336,7 @@ def _streaming_tokens(sf_dir):
             n_partitions=8,
             n_salts=4,
             token_stats=True,
+            comoment_stats=True,
         )
         drv = StreamDriver(fix, out, cfg)
         drv.run()
@@ -744,13 +746,25 @@ QUERIES: list[QueryDef] = [
                 {sql_skew('token')} AS tok_skew,
                 {sql_kurt('token')} AS tok_kurt
               FROM f GROUP BY source, window_start
+            ), bv AS (
+              SELECT source, window_start,
+                {sql_corr('x', 'y')} AS len_tok_corr,
+                {sql_cov('x', 'y')} AS len_tok_cov
+              FROM (SELECT source, {TOK_WS_SQL} AS window_start,
+                      cast({N_TOK_SQL} AS double) AS x,
+                      cast(coalesce(list_sum({_TOKS_SQL}), 0) AS double) AS y
+                    FROM documents)
+              GROUP BY source, window_start
             )
             SELECT l.source, l.window_start,
                    cast(l.window_start + 21600 as bigint) AS window_end,
                    l.wavg, l.wstd, l.skew, l.kurt,
                    t.tok_mean, t.tok_std, t.tok_skew, t.tok_kurt,
+                   b.len_tok_corr, b.len_tok_cov,
                    cast(l.n_rows as bigint) AS n_rows
-            FROM lens l JOIN toks t USING (source, window_start)""",
+            FROM lens l
+            JOIN toks t USING (source, window_start)
+            JOIN bv b USING (source, window_start)""",
     ),
     QueryDef(
         "streaming_windowed_lengths",
