@@ -2996,6 +2996,83 @@ QUERIES.append(
 )
 
 
+def _q_vocab_overlap(sf_dir):
+    """Pairwise vocabulary Jaccard between sources (corpus-composition
+    analysis): the distributed part reduces the corpus to distinct
+    (source, token) incidence rows (bounded by sources x vocab — the
+    per-batch dedup combiner keeps the shuffle tiny); the pairwise
+    Jaccard over the tiny incidence matrix is one driver-side numpy
+    matmul."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raystat.pipelines.tokens import tokenize_documents
+
+    def flat_dedup(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        t = pa.table(
+            {
+                "source": batch["source"].take(parents),
+                "token": pc.cast(pc.list_flatten(toks), pa.int64()),
+            }
+        )
+        return t.group_by(["source", "token"]).aggregate([])
+
+    inc = (
+        tokenize_documents(sf_dir)
+        .map_batches(flat_dedup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .count()
+        .to_pandas()  # O(sources x vocab)
+    )
+    srcs = np.sort(inc["source"].unique())
+    toks = np.sort(inc["token"].unique())
+    s_idx = pd.Series(np.arange(len(srcs)), index=srcs)
+    t_idx = pd.Series(np.arange(len(toks)), index=toks)
+    M = np.zeros((len(srcs), len(toks)), dtype=np.float64)
+    M[s_idx[inc["source"]].to_numpy(), t_idx[inc["token"]].to_numpy()] = 1.0
+    inter = M @ M.T
+    sizes = M.sum(axis=1)
+    union = sizes[:, None] + sizes[None, :] - inter
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            if inter[i, j] == 0:
+                continue  # zero-overlap pairs are absent from the SQL inner join
+            rows.append(
+                (srcs[i], srcs[j], float(inter[i, j] / union[i, j]),
+                 np.int64(inter[i, j]))
+            )
+    return pd.DataFrame(
+        rows, columns=["source_a", "source_b", "jaccard", "n_common"]
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "vocab_overlap_sources",
+        _q_vocab_overlap,
+        f"""WITH f AS ({TOK_FLAT_SQL}),
+            inc AS (SELECT DISTINCT source, cast(token AS bigint) AS token FROM f),
+            sz AS (SELECT source, count(*) AS n FROM inc GROUP BY 1),
+            pair AS (SELECT a.source AS source_a, b.source AS source_b,
+                            count(*) AS n_common
+                     FROM inc a JOIN inc b
+                       ON a.token = b.token AND a.source < b.source
+                     GROUP BY 1, 2)
+            SELECT p.source_a, p.source_b,
+              p.n_common / (sa.n + sb.n - p.n_common) AS jaccard,
+              p.n_common
+            FROM pair p
+            JOIN sz sa ON sa.source = p.source_a
+            JOIN sz sb ON sb.source = p.source_b""",
+    )
+)
+
+
 def _q_distinct_users(sf_dir):
     """Exact distributed COUNT(DISTINCT): per-batch local dedup
     combiner, one groupby (raystat/dataops/sketches.py)."""
