@@ -1139,3 +1139,65 @@ def test_quantize_embeddings_roundtrip(ray_session):
         assert np.abs(q * s - X[i]).max() <= s / 2 + 1e-12
         # the max-|v| element hits full scale
         assert np.abs(q).max() == 127
+
+
+def test_funnel_frame_and_distributed(ray_session):
+    import ray.data as rd
+
+    from raystat.dataops.cep import funnel_counts, funnel_frame
+
+    # hand-built pattern cases (sec-resolution ts as us epoch)
+    def mk(rows):
+        df = pd.DataFrame(rows, columns=["u", "ts", "t"])
+        df["ts"] = pd.to_datetime(df["ts"], unit="s")
+        return df
+
+    df = mk(
+        [
+            # u1: full funnel in order
+            (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+            # u2: b before a -> only reaches stage a (a@15, no b after 15)
+            (2, 12, "b"), (2, 15, "a"),
+            # u3: a then c (skips b) -> reaches a only... c requires b
+            (3, 10, "a"), (3, 40, "c"),
+            # u4: a,b,a,b,c with earliest-chain semantics
+            (4, 1, "a"), (4, 2, "b"), (4, 3, "a"), (4, 4, "b"), (4, 5, "c"),
+            # u5: simultaneous a and b (strict > drops the tie)
+            (5, 7, "a"), (5, 7, "b"),
+        ]
+    )
+    out = funnel_frame(df, key="u", ts="ts", type_col="t", stages=["a", "b", "c"])
+    out = out.set_index("u")
+    NO = np.iinfo(np.int64).max
+    assert out.loc[1, "t_2"] != NO
+    assert out.loc[2, "t_0"] != NO and out.loc[2, "t_1"] == NO
+    assert out.loc[3, "t_1"] == NO and out.loc[3, "t_2"] == NO
+    assert out.loc[4, "t_2"] != NO and out.loc[4, "t_1"] == 2_000_000
+    assert out.loc[5, "t_1"] == NO  # strict order: same-timestamp b not counted
+
+    # distributed equals brute force on random data
+    rng = np.random.default_rng(8)
+    n = 20_000
+    big = pd.DataFrame(
+        {
+            "u": rng.integers(0, 500, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+            "t": np.array(["a", "b", "c", "x"])[rng.integers(0, 4, n)],
+        }
+    )
+    got = funnel_counts(
+        rd.from_pandas(big).repartition(8),
+        key="u", ts="ts", type_col="t", stages=["a", "b", "c"], n_parts=8,
+    ).set_index("stage")["n_keys"]
+    # brute force per user
+    counts = {"a": 0, "b": 0, "c": 0}
+    for u, g in big.sort_values("ts").groupby("u"):
+        prev = pd.Timestamp.min
+        for st in ["a", "b", "c"]:
+            cand = g[(g["t"] == st) & (g["ts"] > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand["ts"].min()
+            counts[st] += 1
+    for st in ["a", "b", "c"]:
+        assert got[st] == counts[st], st
