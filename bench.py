@@ -309,6 +309,16 @@ def main() -> None:
     _q_asof_purchase_events(SF_DIR).count()
     queries["asof_purchase_events"] = round(time.time() - t0, 3)
 
+    # CEP funnel + big x big hash join over the TPC-H tables
+    from raystat.pipelines.queries import _q_funnel_events, _q_revenue_by_nation
+
+    t0 = time.time()
+    _q_funnel_events(SF_DIR)
+    queries["funnel_events"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _q_revenue_by_nation(SF_DIR).count()
+    queries["revenue_by_nation"] = round(time.time() - t0, 3)
+
     # bivariate co-moments + distinct-count sketch over events
     from raystat.dataops.sketches import grouped_hll_distinct
     from raystat.comoments import grouped_comoments
