@@ -25,17 +25,21 @@ __all__ = ["funnel_counts", "funnel_frame"]
 
 
 def funnel_frame(
-    df: pd.DataFrame, *, key: str, ts: str, type_col: str, stages: list[str]
+    df: pd.DataFrame, *, key: str, ts: str, type_col: str, stages: list[str],
+    within_us: int | None = None,
 ) -> pd.DataFrame:
     """Per-key earliest strict-order stage times over one partition.
-    Returns one row per key with ``t_<i>`` int64 epoch columns (NaT/-1
-    when the stage is never reached)."""
+    ``within_us`` additionally requires every later stage to land
+    within that many microseconds of the stage-0 match (time-bounded
+    funnel).  Returns one row per key with ``t_<i>`` int64 epoch
+    columns (int64 max when the stage is never reached)."""
     codes, uniq = pd.factorize(df[key].to_numpy())
     tsv = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
     typ = df[type_col].to_numpy()
     n_keys = len(uniq)
     NO = np.int64(np.iinfo(np.int64).max)
     prev = np.full(n_keys, -(2**62), dtype=np.int64)  # stage-0 gate: -inf
+    t0 = None
     out = {key: uniq}
     for i, stage in enumerate(stages):
         m = typ == stage
@@ -44,15 +48,22 @@ def funnel_frame(
             c = codes[m]
             v = tsv[m]
             ok = v > prev[c]  # strictly after the previous stage's match
+            if within_us is not None and t0 is not None:
+                # deadline only binds for keys that matched stage 0;
+                # unmatched keys have prev == NO, so ok is already False
+                with np.errstate(over="ignore"):
+                    ok &= v <= t0[c] + np.int64(within_us)
             if ok.any():
                 np.minimum.at(t, c[ok], v[ok])
         out[f"t_{i}"] = t
         prev = t
+        if i == 0:
+            t0 = t
     return pd.DataFrame(out)
 
 
 def funnel_counts(ds, *, key: str, ts: str, type_col: str, stages: list[str],
-                  n_parts: int = 32) -> pd.DataFrame:
+                  n_parts: int = 32, within_us: int | None = None) -> pd.DataFrame:
     """Distributed funnel: hash-partition by key, one vectorized
     per-partition pass, then a tiny driver reduce.  Returns one row
     per stage: (stage, n_keys_reached)."""
@@ -71,7 +82,10 @@ def funnel_counts(ds, *, key: str, ts: str, type_col: str, stages: list[str],
         )
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        return funnel_frame(g, key=key, ts=ts, type_col=type_col, stages=stages)
+        return funnel_frame(
+            g, key=key, ts=ts, type_col=type_col, stages=stages,
+            within_us=within_us,
+        )
 
     per_key = (
         ds.map_batches(tag, batch_format="pyarrow")

@@ -2520,6 +2520,40 @@ QUERIES.append(
 )
 
 
+def _q_funnel_events_within(sf_dir):
+    """Time-bounded funnel: every later stage must land within 2 days
+    of the stage-0 match (the realistic CEP form)."""
+    from raystat.dataops.cep import funnel_counts
+
+    return funnel_counts(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        key="user_id", ts="ts", type_col="event_type",
+        stages=["view", "click", "purchase"],
+        within_us=2 * 86400 * 1_000_000,
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "funnel_events_within",
+        _q_funnel_events_within,
+        """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+             s1 AS (SELECT e.user_id, min(e.ts) AS t1, any_value(s0.t0) AS t0
+                    FROM events e JOIN s0 USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > s0.t0
+                      AND e.ts <= s0.t0 + INTERVAL 2 DAY GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                    JOIN s1 USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                      AND e.ts <= s1.t0 + INTERVAL 2 DAY GROUP BY 1)
+           SELECT 'view' AS stage, (SELECT count(*) FROM s0) AS n_keys
+           UNION ALL SELECT 'click', (SELECT count(*) FROM s1)
+           UNION ALL SELECT 'purchase', (SELECT count(*) FROM s2)""",
+    )
+)
+
+
 def _q_asof_purchase_events(sf_dir):
     """Point-in-time enrichment: each click/view event joined to the
     user's latest purchase at-or-before it (distributed as-of join,

@@ -174,3 +174,57 @@ def test_hash_join_column_collision(ray_session):
     df = pd.DataFrame({"k": [1], "x": [1.0]})
     with pytest.raises(ValueError, match="collision"):
         hash_join(rd.from_pandas(df), rd.from_pandas(df), on="k")
+
+
+def test_joins_survive_hot_key(ray_session):
+    """A single key holding half of both sides must not break the
+    co-partitioned sweep (asof) or the per-partition hash join —
+    output stays correct, only that partition's task grows."""
+    import ray.data as rd
+
+    from raystat.dataops.joins import hash_join
+
+    rng = np.random.default_rng(13)
+    nl, nr = 4_000, 1_000
+    lk = np.where(rng.random(nl) < 0.5, 7, rng.integers(100, 150, nl))
+    rk = np.where(rng.random(nr) < 0.5, 7, rng.integers(100, 150, nr))
+    left = pd.DataFrame(
+        {"k": lk, "ts": rng.integers(0, 10_000, nl).astype("int64"),
+         "lv": rng.normal(size=nl)}
+    )
+    right = pd.DataFrame(
+        {"k": rk, "ts": rng.integers(0, 10_000, nr).astype("int64"),
+         "rv": rng.normal(size=nr)}
+    )
+    got = to_pandas(
+        asof_join(
+            rd.from_pandas(left).repartition(8),
+            rd.from_pandas(right).repartition(4),
+            by="k", on="ts", right_cols=["rv"], n_parts=16,
+        )
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward",
+    )
+    key = ["k", "ts", "lv"]
+    g = got.sort_values(key, kind="stable", ignore_index=True)
+    e = exp.sort_values(key, kind="stable", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        g[["k", "ts", "lv", "rv"]], e[["k", "ts", "lv", "rv"]], check_dtype=False
+    )
+
+    jg = (
+        hash_join(
+            rd.from_pandas(left[["k", "lv"]]).repartition(8),
+            rd.from_pandas(right[["k", "rv"]]).repartition(4),
+            on="k", n_parts=16,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], ignore_index=True)
+    )
+    je = left[["k", "lv"]].merge(right[["k", "rv"]], on="k").sort_values(
+        ["k", "lv", "rv"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(jg[je.columns], je, check_dtype=False)

@@ -1201,3 +1201,23 @@ def test_funnel_frame_and_distributed(ray_session):
             counts[st] += 1
     for st in ["a", "b", "c"]:
         assert got[st] == counts[st], st
+
+
+def test_funnel_within_deadline():
+    from raystat.dataops.cep import funnel_frame
+
+    NO = np.iinfo(np.int64).max
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 2],
+            "ts": pd.to_datetime([10, 20, 30, 10, 20, 500], unit="s"),
+            "t": ["a", "b", "c", "a", "b", "c"],
+        }
+    )
+    # 100s budget: u1 completes; u2's c at t=500 misses the deadline
+    out = funnel_frame(
+        df, key="u", ts="ts", type_col="t", stages=["a", "b", "c"],
+        within_us=100 * 1_000_000,
+    ).set_index("u")
+    assert out.loc[1, "t_2"] != NO
+    assert out.loc[2, "t_1"] != NO and out.loc[2, "t_2"] == NO
