@@ -228,3 +228,21 @@ def test_joins_survive_hot_key(ray_session):
         ["k", "lv", "rv"], ignore_index=True
     )
     pd.testing.assert_frame_equal(jg[je.columns], je, check_dtype=False)
+
+
+def test_hash_join_empty_side(ray_session):
+    import ray.data as rd
+
+    from raystat.dataops.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "a": [1.0, 2.0, 3.0]})
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="float64")})
+    inner = hash_join(
+        rd.from_pandas(left), rd.from_pandas(empty), on="k"
+    ).to_pandas()
+    assert len(inner) == 0
+    lefty = hash_join(
+        rd.from_pandas(left), rd.from_pandas(empty), on="k", how="left"
+    ).to_pandas()
+    assert len(lefty) == 3 and lefty["b"].isna().all()
