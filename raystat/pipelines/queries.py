@@ -903,6 +903,23 @@ def _q_dedup_exact(sf_dir):
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+def _q_near_dup_components(sf_dir):
+    """Near-dup CLUSTERS via distributed label propagation
+    (raystat/dataops/graph.py — per-round hash join + groupby-min, no
+    driver union-find): one (doc_id, component) row per doc that
+    appears in any verified near-dup pair."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raystat.dataops.dedup import minhash_lsh_pairs
+    from raystat.dataops.graph import connected_components
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.8)
+    edges = pd.DataFrame({"a": pairs["doc_a"], "b": pairs["doc_b"]})
+    out = connected_components(rd.from_pandas(edges))
+    return out.rename(columns={"node": "doc_id"})
+
+
 def _q_minhash_pairs(sf_dir):
     """Full-pair oracle: DuckDB reproduces the EXACT word-shingle
     Jaccard pair set (MINHASH_PAIRS_SQL).  Candidate recall through
@@ -1318,6 +1335,25 @@ QUERIES.extend(
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         ),
         QueryDef("minhash_dedup_pairs", _q_minhash_pairs, MINHASH_PAIRS_SQL),
+        QueryDef(
+            "near_dup_components_documents",
+            _q_near_dup_components,
+            # per-node cluster label = min doc id reachable in the
+            # near-dup pair graph (incl. itself) — the distributed
+            # label-propagation twin of the recursive closure
+            f"""WITH RECURSIVE pr AS MATERIALIZED ({MINHASH_PAIRS_SQL}),
+                edges AS (
+                  SELECT doc_a AS a, doc_b AS b FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr
+                ),
+                walk(node, reach) AS (
+                  SELECT a, b FROM edges
+                  UNION
+                  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+                )
+                SELECT node AS doc_id, least(node, min(reach)) AS component
+                FROM walk GROUP BY node""",
+        ),
         QueryDef(
             "dedup_near_documents",
             _q_near_dedup,

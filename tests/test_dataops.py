@@ -1221,3 +1221,50 @@ def test_funnel_within_deadline():
     ).set_index("u")
     assert out.loc[1, "t_2"] != NO
     assert out.loc[2, "t_1"] != NO and out.loc[2, "t_2"] == NO
+
+
+def test_connected_components_vs_unionfind(ray_session):
+    """Label propagation equals a reference union-find on random
+    graphs, including long chains (diameter stress) and singleton
+    pairs."""
+    import ray.data as rd
+
+    from raystat.dataops.graph import connected_components
+
+    rng = np.random.default_rng(21)
+    # random sparse graph + one long chain (tests multi-round prop)
+    a = rng.integers(0, 300, 250)
+    b = rng.integers(0, 300, 250)
+    chain = np.arange(1000, 1020)
+    edges = pd.DataFrame(
+        {
+            "a": np.concatenate([a, chain[:-1]]),
+            "b": np.concatenate([b, chain[1:]]),
+        }
+    ).astype(np.int64)
+
+    got = connected_components(rd.from_pandas(edges)).set_index("node")["component"]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(edges["a"], edges["b"]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    # canonical min-id per component
+    roots = {}
+    for n in parent:
+        r = find(n)
+        roots.setdefault(r, []).append(n)
+    expected = {}
+    for r, members in roots.items():
+        m = min(members)
+        for n in members:
+            expected[n] = m
+    assert dict(got) == expected
