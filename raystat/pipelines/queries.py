@@ -2101,6 +2101,67 @@ def _q_token_entropy(sf_dir):
     return grouped_entropy(ds, key="source", value="token")
 
 
+def _q_powerlaw_alpha(sf_dir):
+    """Power-law tail exponent of the per-source token-frequency
+    distribution (Clauset-style discrete MLE at fixed xmin=2:
+    alpha = 1 + m / sum(ln(n_i / 1.5)) over token counts n_i >= 2) —
+    the corpus-statistics cousin of the moment UDAFs, computed from
+    the same mergeable count-histogram partials."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from raystat.pipelines.tokens import tokenize_documents
+
+    def flat_counts(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        t = pa.table(
+            {
+                "source": batch["source"].take(parents),
+                "token": pc.cast(pc.list_flatten(toks), pa.int64()),
+            }
+        )
+        agg = t.group_by(["source", "token"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["source", "token", "n"])
+
+    merged = (
+        tokenize_documents(sf_dir)
+        .map_batches(flat_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def alpha(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy().astype(np.float64)
+        tail = n[n >= 2.0]
+        m = tail.size
+        a = 1.0 + m / float(np.log(tail / 1.5).sum()) if m else 0.0
+        return pd.DataFrame(
+            {"source": [g["source"].iloc[0]], "alpha": [a],
+             "m_tail": [np.int64(m)]}
+        )
+
+    return merged.groupby("source").map_groups(alpha, batch_format="pandas")
+
+
+QUERIES.append(
+    QueryDef(
+        "powerlaw_alpha_by_source",
+        _q_powerlaw_alpha,
+        f"""WITH f AS ({TOK_FLAT_SQL}),
+            c AS (SELECT source, token, count(*) AS n FROM f GROUP BY 1, 2),
+            t AS (SELECT source, cast(n AS double) AS n FROM c WHERE n >= 2)
+            SELECT source,
+              1.0 + count(*) / sum(ln(n / 1.5)) AS alpha,
+              count(*) AS m_tail
+            FROM t GROUP BY source""",
+    )
+)
+
+
 def _q_mode_events(sf_dir):
     """Exact per-group mode of a continuous-looking column (2-decimal
     values): histogram partials + deterministic smallest-value
