@@ -33,6 +33,7 @@ __all__ = [
     "exact_dedup",
     "exact_dup_pairs",
     "near_dedup",
+    "near_dedup_lp",
     "minhash_signatures_batch",
     "minhash_lsh_pairs",
     "simhash_batch",
@@ -156,6 +157,39 @@ def near_dedup(ds, pairs: pd.DataFrame, id_col: str = "doc_id"):
 
     losers = np.array(
         sorted(x for x in parent if find(x) != x), dtype=np.int64
+    )
+    ref = ray.put(losers)
+
+    def anti_join(batch: pa.Table) -> pa.Table:
+        lose = ray.get(ref)
+        if not lose.size:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(lose, ids)
+        pos[pos == lose.size] = 0
+        return batch.filter(pa.array(lose[pos] != ids))
+
+    return ds.map_batches(anti_join, batch_format="pyarrow")
+
+
+def near_dedup_lp(ds, pairs, id_col: str = "doc_id"):
+    """:func:`near_dedup` with the clustering step DISTRIBUTED: min-label
+    propagation (raystat/dataops/graph.py) replaces the driver
+    union-find, so the pair list never has to fit one machine — the
+    driver only sees the loser-id array (O(#dupes)), which broadcasts
+    into the same streaming anti-join."""
+    import ray
+    import ray.data as rd
+
+    from raystat.dataops.graph import connected_components
+
+    edges = pd.DataFrame(
+        {"a": np.asarray(pairs["doc_a"], dtype=np.int64),
+         "b": np.asarray(pairs["doc_b"], dtype=np.int64)}
+    )
+    comp = connected_components(rd.from_pandas(edges))
+    losers = np.sort(
+        comp.loc[comp["node"] != comp["component"], "node"].to_numpy(np.int64)
     )
     ref = ray.put(losers)
 

@@ -1268,3 +1268,30 @@ def test_connected_components_vs_unionfind(ray_session):
         for n in members:
             expected[n] = m
     assert dict(got) == expected
+
+
+def test_near_dedup_lp_equals_unionfind(ray_session):
+    """The distributed label-propagation survivors equal the
+    union-find survivors on the planted-duplicate corpus."""
+    import ray.data as rd
+
+    from raystat.dataops.dedup import (
+        minhash_lsh_pairs,
+        near_dedup,
+        near_dedup_lp,
+    )
+
+    tbl = _docs_table()
+    pairs = minhash_lsh_pairs(rd.from_arrow(tbl), threshold=0.8)
+    a = (
+        near_dedup(rd.from_arrow(tbl), pairs)
+        .to_pandas()["doc_id"]
+        .sort_values(ignore_index=True)
+    )
+    b = (
+        near_dedup_lp(rd.from_arrow(tbl), pairs)
+        .to_pandas()["doc_id"]
+        .sort_values(ignore_index=True)
+    )
+    pd.testing.assert_series_equal(a, b)
+    assert len(a) < tbl.num_rows  # the planted dups really dropped
