@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=32768)
     p.add_argument("--token-stats", action="store_true", help="also token-value moments")
     p.add_argument(
+        "--watermark-scope",
+        choices=["global", "per_source"],
+        default="global",
+        help="per_source: each source advances its own event-time watermark",
+    )
+    p.add_argument(
         "--comoments",
         action="store_true",
         help="also corr/cov(n_tok, token sum) per window (implies --token-stats)",
@@ -74,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         passthrough=args.passthrough,
         emit_changes=args.emit_changes,
         file_format=args.format,
+        watermark_scope=args.watermark_scope,
     )
     drv = StreamDriver(args.input, args.out, cfg)
     metrics = drv.run(resume=args.resume)

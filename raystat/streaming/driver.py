@@ -92,6 +92,11 @@ class StreamConfig:
     file_format: str = "parquet"  # or "json": newline-delimited JSON
     #   parts (the reference's Kafka topics are value_format='json';
     #   README.md:143, AllUdafIT.java:564) re-encoded per arrival dir
+    watermark_scope: str = "global"  # or "per_source": each source
+    #   advances its own event-time watermark (Flink-style per-key
+    #   watermarking), so one fast source cannot force-drop a lagging
+    #   source's events; "global" matches ksqlDB single-partition
+    #   stream-time and is the default
 
     def __post_init__(self) -> None:
         if self.file_format not in ("parquet", "json"):
@@ -107,6 +112,10 @@ class StreamConfig:
             )
         if self.comoment_stats and not self.token_stats:
             raise ValueError("comoment_stats requires token_stats=True")
+        if self.watermark_scope not in ("global", "per_source"):
+            raise ValueError(
+                f"watermark_scope {self.watermark_scope!r}: global or per_source"
+            )
 
 
 _CANON_TYPES = {
@@ -194,7 +203,23 @@ def _row_token_sums(batch: pa.Table, tokens_col: str, rows_in: int) -> dict[str,
     return tr
 
 
-def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int):
+def _src_max_json(src_dict, ts_us: np.ndarray, src_code: np.ndarray) -> str:
+    """Per-source max event ts of one batch as a JSON string (bounded
+    by distinct sources per batch) — the per-source watermark's
+    bookkeeping analogue of the scalar max_ts_us."""
+    import json as _json
+
+    if ts_us.size == 0:
+        return "{}"
+    m = np.full(len(src_dict.dictionary), -1, dtype=np.int64)
+    np.maximum.at(m, src_code, ts_us)
+    vocab = src_dict.dictionary.to_pylist()
+    return _json.dumps({s: int(v) for s, v in zip(vocab, m) if v >= 0})
+
+
+def _partial_stage(
+    cfg: StreamConfig, needed, u_order, w_order, watermark_s: int, src_wm=None
+):
     """Fused per-batch extraction + windowing + late-drop + partial
     aggregation.  Group keys (source dictionary code, salt,
     window_start) are factorized through a dense composite integer key
@@ -242,10 +267,23 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
         max_ts = int(ts_us.max()) if rows_in else -1
         info = {"max_ts_us": max_ts, "rows_in": rows_in}
         ts_s = ts_us // 1_000_000
+        src_dict = pc.dictionary_encode(batch["source"].combine_chunks())
+        src_code = src_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        src_vocab = src_dict.dictionary
         # late iff the row's LATEST covering window is closed (tumbling:
         # its only window; hopping: window starting at (ts//hop)*hop)
         k_last = ts_s // step
-        row_keep = (k_last * step + size_s) > watermark_s
+        if src_wm is not None:
+            # per-source watermark: each row checks its OWN source's
+            # frontier (O(vocab) dict lookups per batch, then a gather)
+            wm_arr = np.array(
+                [src_wm.get(s, -(2**62)) for s in src_vocab.to_pylist()],
+                dtype=np.int64,
+            )
+            row_keep = (k_last * step + size_s) > wm_arr[src_code]
+            info["src_max_json"] = _src_max_json(src_dict, ts_us, src_code)
+        else:
+            row_keep = (k_last * step + size_s) > watermark_s
         late_n = rows_in - int(row_keep.sum())
         info["late_dropped"] = late_n
 
@@ -256,9 +294,6 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
         # and the routing fan-out by n_salts while keeping the same
         # skew spreading across the stream.
         salt_b = int(ids[0]) % n_salts if rows_in else 0
-        src_dict = pc.dictionary_encode(batch["source"].combine_chunks())
-        src_code = src_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        src_vocab = src_dict.dictionary
         x = astype_f8("x", batch[value_col].to_numpy(zero_copy_only=False))
         w = (
             astype_f8("w", batch[weight_col].to_numpy(zero_copy_only=False))
@@ -376,11 +411,15 @@ def _partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int
     return fn
 
 
-def _session_partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermark_s: int):
+def _session_partial_stage(
+    cfg: StreamConfig, needed, u_order, w_order, watermark_s: int, src_wm=None
+):
     """Within-batch partial sessions per source: sort by (source, ts),
     split runs at gap, aggregate power sums + min/max ts.  Late rows
     (ts <= watermark) are dropped: any such event could only extend an
     already-closed session (close rule: end + gap <= watermark)."""
+    import pyarrow.compute as pc
+
     gap_us = int(cfg.session_gap_s) * 1_000_000
     value_col, weight_col = cfg.value_col, cfg.weight_col
     token_stats = cfg.token_stats
@@ -390,9 +429,24 @@ def _session_partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermar
         ids = numeric_doc_id(batch["doc_id"])
         ts_us = event_time_us_from_numeric(ids)
         max_ts = int(ts_us.max()) if rows_in else -1
-        keep = (ts_us // 1_000_000) > watermark_s
-        late_n = int((~keep).sum())
         src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        if src_wm is not None:
+            wm_row = (
+                pd.Series(src).map(src_wm).fillna(-(2**62)).to_numpy(np.int64)
+            )
+            keep = (ts_us // 1_000_000) > wm_row
+            sd = pc.dictionary_encode(batch["source"].combine_chunks())
+            extra_info = {
+                "src_max_json": _src_max_json(
+                    sd,
+                    ts_us,
+                    sd.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+                )
+            }
+        else:
+            keep = (ts_us // 1_000_000) > watermark_s
+            extra_info = {}
+        late_n = int((~keep).sum())
         x = batch[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         w = (
             batch[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
@@ -442,7 +496,10 @@ def _session_partial_stage(cfg: StreamConfig, needed, u_order, w_order, watermar
             session_end_us=("_ts", "max"),
         )
         part = pa.Table.from_pandas(g.drop(columns=["_sess"]), preserve_index=False)
-        return part, {"max_ts_us": max_ts, "late_dropped": late_n, "rows_in": rows_in}
+        return part, {
+            "max_ts_us": max_ts, "late_dropped": late_n, "rows_in": rows_in,
+            **extra_info,
+        }
 
     return fn
 
@@ -507,6 +564,8 @@ class StreamDriver:
         self.ckpt_root = os.path.join(out_dir, "_checkpoints")
         os.makedirs(self.ckpt_root, exist_ok=True)
         self.watermark_s = -(2**62)
+        self.per_source_wm = self.cfg.watermark_scope == "per_source"
+        self.src_watermark: dict[str, int] = {}
         self.join = MetadataJoin(self.cfg.join_grace_epochs)
         self.metrics: dict[str, dict] = {}
         self.actors: list | None = None
@@ -573,6 +632,7 @@ class StreamDriver:
         state = {
             "epoch": epoch,
             "watermark_s": self.watermark_s,
+            "src_watermark": self.src_watermark,
             "join": self.join.to_state(),
             "metrics": self.metrics,
         }
@@ -597,6 +657,9 @@ class StreamDriver:
         with open(os.path.join(d, "driver.json")) as f:
             st = json.load(f)
         self.watermark_s = st["watermark_s"]
+        self.src_watermark = {
+            k: int(v) for k, v in st.get("src_watermark", {}).items()
+        }
         self.join = MetadataJoin.from_state(st["join"])
         self.metrics = {str(k): v for k, v in st["metrics"].items()}
         self._ensure_actors()
@@ -672,18 +735,26 @@ class StreamDriver:
 
         t0 = _time.monotonic()
         ds = self._epoch_dataset(epoch)
-        wm_at_ingest = self.watermark_s  # late-drop predicate for BOTH sinks
+        # late-drop predicate for BOTH sinks at ingest time: the global
+        # scalar, or a frozen copy of the per-source frontier map
+        wm_at_ingest = (
+            dict(self.src_watermark) if self.per_source_wm else self.watermark_s
+        )
+        src_wm = wm_at_ingest if self.per_source_wm else None
         em = {"rows_in": 0, "late_dropped": 0, "partial_rows": 0, "max_ts_us": -1}
         t_pipe = t_barrier = 0.0
+        stats_src_max: list[str] = []
         if ds is not None:
             if self.session_mode:
                 fn = _session_partial_stage(
-                    self.cfg, self.needed, self.u_order, self.w_order, self.watermark_s
+                    self.cfg, self.needed, self.u_order, self.w_order,
+                    self.watermark_s, src_wm=src_wm,
                 )
                 router = SessionRouter(self.actors, self.cfg.n_partitions, fn)
             else:
                 fn = _partial_stage(
-                    self.cfg, self.needed, self.u_order, self.w_order, self.watermark_s
+                    self.cfg, self.needed, self.u_order, self.w_order,
+                    self.watermark_s, src_wm=src_wm,
                 )
                 router = Router(self.actors, self.cfg.n_partitions, fn)
             # max_retries=0: the router's actor pushes are non-idempotent
@@ -712,6 +783,8 @@ class StreamDriver:
                 em["sec_route_sum"] = round(float(stats["sec_route"].sum()), 3)
                 em["n_batches"] = int(len(stats))
                 self._ingest_expected += int(stats["ingest_calls"].sum())
+                if self.per_source_wm and "src_max_json" in stats:
+                    stats_src_max = stats["src_max_json"].tolist()
             self._ingest_barrier()
             t_barrier = _time.monotonic() - t0 - t_pipe
         if em["max_ts_us"] >= 0:
@@ -719,7 +792,18 @@ class StreamDriver:
                 self.watermark_s,
                 em["max_ts_us"] // 1_000_000 - self.cfg.allowed_lateness_s,
             )
-        self._emit(epoch, self.watermark_s)
+        if self.per_source_wm and len(stats_src_max):
+            for js in stats_src_max:
+                if not js:
+                    continue
+                for src, m in json.loads(js).items():
+                    wm = int(m) // 1_000_000 - self.cfg.allowed_lateness_s
+                    if wm > self.src_watermark.get(src, -(2**62)):
+                        self.src_watermark[src] = wm
+        self._emit(
+            epoch,
+            dict(self.src_watermark) if self.per_source_wm else self.watermark_s,
+        )
         t_emit = _time.monotonic() - t0 - t_pipe - t_barrier
         if self.pass_sink is not None and ds is not None:
             self.pass_sink.commit_dataset(
@@ -731,13 +815,14 @@ class StreamDriver:
         em["sec_emit"] = round(t_emit, 3)
         self.metrics[str(epoch)] = em
 
-    def _passthrough_ds(self, ds, wm: int):
+    def _passthrough_ds(self, ds, wm):
         """Exact per-row passthrough: same late-drop predicate as the
-        aggregation path (the watermark in force at ingest), token
-        arrays byte-identical (pure Arrow filter, no rewrite).  In
-        hopping mode a row is kept iff ANY covering window is open,
-        i.e. its LATEST window ((ts//hop)*hop + size) is open —
-        matching _partial_stage's row_keep."""
+        aggregation path (the watermark in force at ingest — the global
+        scalar, or the per-source frontier dict), token arrays
+        byte-identical (pure Arrow filter, no rewrite).  In hopping
+        mode a row is kept iff ANY covering window is open, i.e. its
+        LATEST window ((ts//hop)*hop + size) is open — matching
+        _partial_stage's row_keep."""
         size_s = self.cfg.window_size_s
         step = self.cfg.hop_s if self.cfg.hop_s is not None else size_s
         session = self.session_mode
@@ -745,10 +830,19 @@ class StreamDriver:
         def keep(batch: pa.Table) -> pa.Table:
             ids = numeric_doc_id(batch["doc_id"])
             ts_s = event_time_us_from_numeric(ids) // 1_000_000
+            if isinstance(wm, dict):
+                wm_row = (
+                    pd.Series(batch["source"].to_pylist())
+                    .map(wm)
+                    .fillna(-(2**62))
+                    .to_numpy(np.int64)
+                )
+            else:
+                wm_row = wm
             if session:
-                return batch.filter(pa.array(ts_s > wm))
+                return batch.filter(pa.array(ts_s > wm_row))
             last_end = (ts_s // step) * step + size_s
-            return batch.filter(pa.array(last_end > wm))
+            return batch.filter(pa.array(last_end > wm_row))
 
         return ds.map_batches(keep, batch_format="pyarrow")
 

@@ -134,13 +134,21 @@ class StatePartition:
             }
         )
 
-    def close_windows(self, watermark_s: int) -> pa.Table:
+    def close_windows(self, watermark_s) -> pa.Table:
         """Pop and return all state whose window has fully passed the
         watermark (window_start + size <= watermark), merged across
-        this actor's salts."""
+        this actor's salts.  ``watermark_s`` may be a per-source dict
+        (cfg.watermark_scope='per_source'): each row closes against its
+        OWN source's frontier; sources absent from the dict never
+        close (no events seen yet)."""
         self._consolidate()
         ws = self.state.index.get_level_values("window_start").to_numpy()
-        closed_mask = ws + self.window_size_s <= watermark_s
+        if isinstance(watermark_s, dict):
+            srcs = self.state.index.get_level_values("source")
+            wm = srcs.map(lambda s: watermark_s.get(s, -(2**62))).to_numpy()
+            closed_mask = ws + self.window_size_s <= wm
+        else:
+            closed_mask = ws + self.window_size_s <= watermark_s
         closed = self.state[closed_mask]
         self.state = self.state[~closed_mask]
         self.metrics["windows_closed"] += int(len(closed))
@@ -263,6 +271,11 @@ class Router:
                 "ingest_calls": pa.array([calls], pa.int64()),
                 "sec_fn": pa.array([sec_fn], pa.float64()),
                 "sec_route": pa.array([sec_route], pa.float64()),
+                # per-source max event ts (JSON; "" when the stage runs
+                # with a global watermark) for per_source watermarking
+                "src_max_json": pa.array(
+                    [info.get("src_max_json", "")], pa.string()
+                ),
             }
         )
 
@@ -385,11 +398,20 @@ class SessionStatePartition:
             }
         )
 
-    def close_windows(self, watermark_s: int) -> pa.Table:
+    def close_windows(self, watermark_s) -> pa.Table:
         """Pop sessions that can no longer be extended:
-        end + gap <= watermark."""
+        end + gap <= watermark.  Accepts a per-source watermark dict
+        like StatePartition.close_windows."""
         self._consolidate()
-        wm_us = watermark_s * 1_000_000
+        if isinstance(watermark_s, dict):
+            wm_us = (
+                self.state["source"]
+                .map(lambda s: watermark_s.get(s, -(2**62)))
+                .to_numpy(dtype=np.float64)
+                * 1_000_000
+            )
+        else:
+            wm_us = watermark_s * 1_000_000
         closed_mask = (
             self.state["session_end_us"].to_numpy() + self.gap_us <= wm_us
         )
@@ -481,5 +503,8 @@ class SessionRouter:
                 "ingest_calls": pa.array([calls], pa.int64()),
                 "sec_fn": pa.array([sec_fn], pa.float64()),
                 "sec_route": pa.array([sec_route], pa.float64()),
+                "src_max_json": pa.array(
+                    [info.get("src_max_json", "")], pa.string()
+                ),
             }
         )

@@ -996,3 +996,107 @@ def test_streaming_hopping_comoments_match_bruteforce(ray_session, fixture_dir):
     assert len(m) == len(exp) == len(got)
     np.testing.assert_allclose(m["len_tok_corr"], m["len_tok_corr_e"], rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(m["len_tok_cov"], m["len_tok_cov_e"], rtol=1e-9, atol=1e-9)
+
+
+def test_per_source_watermark_keeps_lagging_source(ray_session, tmp_path):
+    """watermark_scope='per_source': a source whose data arrives three
+    epochs late (but in ITS OWN event-time order) loses nothing, while
+    the global watermark would drop all of it; the per-source result
+    equals the batch aggregate of the full input.  Also covers
+    crash/resume of the per-source frontier map."""
+    from raystat.aggregate import grouped_moments
+    from raystat.extract import T0_US
+    from raystat.fixtures import epoch_len_us, synth_token_block
+    from raystat.windows import Tumbling
+
+    import ray.data as rd
+
+    n_epochs = 4
+    blk = synth_token_block(0, 4000)
+    ev_us = event_time_us_from_numeric(numeric_doc_id(blk["doc_id"]))
+    epoch = (ev_us - T0_US) // epoch_len_us(n_epochs)
+    src = np.asarray(blk["source"].to_pylist())
+    lag = src == "web"  # the hot source arrives entirely in epoch 3
+    arrival = np.where(lag, n_epochs - 1, np.minimum(epoch, n_epochs - 1))
+
+    fix = str(tmp_path / "skewed")
+    for e in range(n_epochs):
+        d = os.path.join(fix, f"arrival={e}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            blk.filter(pa.array(arrival == e)), os.path.join(d, "part-0.parquet")
+        )
+
+    def run(scope, out):
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = StreamConfig(
+            specs={"wavg": "weighted_average", "wstd": "stddev_weighted"},
+            window_size_s=21600,
+            allowed_lateness_s=60,
+            n_partitions=4,
+            n_salts=2,
+            watermark_scope=scope,
+        )
+        drv = StreamDriver(fix, out, cfg)
+        m = drv.run()
+        res = drv.result_table().to_pandas()
+        dropped = sum(e["late_dropped"] for e in m["epochs"].values())
+        return res, dropped
+
+    res_g, dropped_g = run("global", "/tmp/rs_wm_global")
+    res_p, dropped_p = run("per_source", "/tmp/rs_wm_persrc")
+
+    # globally, every web row from event-epochs 0-1 is hopelessly late
+    # by arrival time (the watermark sits at ~end of epoch 2 by then);
+    # per-source, NOTHING drops because web's own frontier lagged too
+    n_web_early = int((lag & (epoch <= 1)).sum())
+    assert n_web_early > 0 and dropped_g >= n_web_early
+    assert dropped_p == 0
+    web_g = set(res_g.loc[res_g["source"] == "web", "window_start"])
+    web_p = set(res_p.loc[res_p["source"] == "web", "window_start"])
+    assert web_g < web_p  # strict subset: early web windows exist only per-source
+
+    # per-source result == the batch aggregate over the FULL input
+    batch = (
+        grouped_moments(
+            rd.from_arrow(
+                blk.append_column("ts_s", pa.array(ev_us // 1_000_000))
+            ),
+            {"wavg": "weighted_average", "wstd": "stddev_weighted"},
+            ["source"],
+            value="n_tok",
+            weight="n_tok",
+            window=Tumbling(21600),
+            ts="ts_s",
+        )
+        .to_pandas()
+        .sort_values(["source", "window_start"], ignore_index=True)
+    )
+    got = res_p[["source", "window_start", "wavg", "wstd"]].sort_values(
+        ["source", "window_start"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(
+        got, batch[["source", "window_start", "wavg", "wstd"]],
+        check_dtype=False, atol=1e-9, rtol=1e-9,
+    )
+
+    # crash/resume preserves the per-source frontier map
+    out3 = "/tmp/rs_wm_persrc_resume"
+    shutil.rmtree(out3, ignore_errors=True)
+    cfg = StreamConfig(
+        specs={"wavg": "weighted_average", "wstd": "stddev_weighted"},
+        window_size_s=21600, allowed_lateness_s=60,
+        n_partitions=4, n_salts=2, watermark_scope="per_source",
+    )
+    d1 = StreamDriver(fix, out3, cfg)
+    d1.run(stop_after_epoch=1)
+    assert d1.src_watermark  # frontier map populated and checkpointed
+    d2 = StreamDriver(fix, out3, cfg)
+    d2.run(resume=True)
+    # the frontier restored from the checkpoint can only have ADVANCED
+    for k, v in d1.src_watermark.items():
+        assert d2.src_watermark.get(k, -(2**62)) >= v
+    b = d2.result_table().to_pandas()[
+        ["source", "window_start", "wavg", "wstd"]
+    ].sort_values(["source", "window_start"], ignore_index=True)
+    pd.testing.assert_frame_equal(b, got, check_dtype=False)
