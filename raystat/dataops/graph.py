@@ -13,7 +13,14 @@ neighbor column) plus one groupby-min — both mergeable, no driver
 state.  Rounds needed = graph diameter; duplicate-cluster graphs are
 near-cliques (diameter ~= 2), so 3-4 rounds close them.
 
-The per-round change count is the only thing the driver sees."""
+The per-round change count is the only thing the driver sees.
+
+Scope note (measured): rounds scale with graph DIAMETER, and each
+round pays Ray Data's fixed per-dataset cost — this operator is built
+for the dedup-cluster regime (near-clique components, pair graphs ≪
+corpus), not for general large-diameter graph analytics (that calls
+for a star-contraction / pointer-doubling variant, whose extra
+per-round join was measured to cost more than it saved here)."""
 
 from __future__ import annotations
 
