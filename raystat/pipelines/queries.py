@@ -2162,6 +2162,74 @@ QUERIES.append(
 )
 
 
+def _q_ks_test(sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between two sources'
+    token-length distributions, computed exactly from the mergeable
+    value histograms (the shuffle carries counts, the driver sees two
+    tiny histograms; D = max |F_a - F_b| over the union support)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from raystat.dataops.text import WS_RE
+
+    def counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(batch["source"], value_set=pa.array(["src0", "src1"]))
+        b = batch.filter(m)
+        s = pd.Series(b["text"].to_pylist(), dtype="object").fillna("")
+        n = s.str.count(WS_RE).astype(np.int64)
+        df = pd.DataFrame({"source": b["source"].to_pylist(), "v": n})
+        g = df.groupby(["source", "v"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(2 x distinct lengths)
+    )
+    piv = (
+        hist.pivot_table(index="v", columns="source", values="n", fill_value=0)
+        .sort_index()
+    )
+    na, nb = float(piv["src0"].sum()), float(piv["src1"].sum())
+    ca = piv["src0"].cumsum().to_numpy() / na
+    cb = piv["src1"].cumsum().to_numpy() / nb
+    return pd.DataFrame(
+        {
+            "d_stat": [float(np.abs(ca - cb).max())],
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+        }
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "ks_test_sources",
+        _q_ks_test,
+        f"""WITH t AS (SELECT source, {N_TOK_SQL} AS v FROM documents
+                      WHERE source IN ('src0', 'src1')),
+            c AS (SELECT v,
+                    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS na_v,
+                    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS nb_v
+                  FROM t GROUP BY v),
+            cum AS (SELECT v,
+                    sum(na_v) OVER (ORDER BY v) AS ca,
+                    sum(nb_v) OVER (ORDER BY v) AS cb
+                  FROM c),
+            tot AS (SELECT sum(na_v) AS na, sum(nb_v) AS nb FROM c)
+            SELECT max(abs(ca / na - cb / nb)) AS d_stat,
+                   any_value(na) AS n_a, any_value(nb) AS n_b
+            FROM cum, tot""",
+    )
+)
+
+
 def _q_mode_events(sf_dir):
     """Exact per-group mode of a continuous-looking column (2-decimal
     values): histogram partials + deterministic smallest-value
