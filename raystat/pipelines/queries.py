@@ -2162,6 +2162,79 @@ QUERIES.append(
 )
 
 
+def _q_percentile_rank(sf_dir):
+    """Per-row percentile-rank feature (the normalization transform of
+    a feature pipeline): one histogram pass per group (mergeable
+    counts), the O(groups x distinct values) rank map broadcast into a
+    second streaming pass — rows never shuffle.  Matches SQL
+    percent_rank: (rank-1)/(n-1), rank = 1 + #strictly-smaller."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pylist(), "v": v})
+        g = df.groupby(["event_type", "v"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "v"], ignore_index=True)
+    )
+    # rank map per (group, value): below-count -> percent_rank numerator
+    maps: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
+    for et, g in hist.groupby("event_type"):
+        vals = g["v"].to_numpy()
+        cnt = g["n"].to_numpy()
+        below = np.concatenate(([0], np.cumsum(cnt)[:-1])).astype(np.float64)
+        n = float(cnt.sum())
+        maps[et] = (vals, below, n)
+
+    def rank_rows(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        v = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pr = np.empty(len(et), dtype=np.float64)
+        # group rows by event_type once; one searchsorted per group
+        s = pd.Series(et)
+        for key, idx in s.groupby(s).groups.items():
+            vals, below, n = maps[key]
+            pos = np.searchsorted(vals, v[idx])
+            pr[idx] = below[pos] / (n - 1.0)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "pr": pa.array(pr),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        rank_rows, batch_format="pyarrow"
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "percentile_rank_events",
+        _q_percentile_rank,
+        """SELECT event_id, event_type,
+              percent_rank() OVER (PARTITION BY event_type
+                ORDER BY cast(round(value*100) AS bigint)) AS pr
+           FROM events""",
+    )
+)
+
+
 def _q_ks_test(sf_dir):
     """Two-sample Kolmogorov-Smirnov statistic between two sources'
     token-length distributions, computed exactly from the mergeable
