@@ -153,7 +153,9 @@ def grouped_moments(
         raise ValueError("no aggregators requested")
     if w_order and weight is None:
         raise ValueError("weighted aggregator requested but weight column is None")
-    if window is not None and not isinstance(window, (Tumbling, Hopping)):
+    # name-based check: isinstance breaks across by-value module copies
+    # (see windows.assign_windows)
+    if window is not None and type(window).__name__ not in ("Tumbling", "Hopping"):
         raise TypeError(
             f"grouped_moments supports Tumbling/Hopping windows, got {window!r}; "
             "use session_moments() for Session windows"

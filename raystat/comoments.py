@@ -271,7 +271,8 @@ def grouped_comoments(
     want_w = any(s.weighted for s in resolved.values())
     if want_w and weight is None:
         raise ValueError("weighted comoment requested but weight column is None")
-    if window is not None and not isinstance(window, (Tumbling, Hopping)):
+    # name-based check: isinstance breaks across by-value module copies
+    if window is not None and type(window).__name__ not in ("Tumbling", "Hopping"):
         raise TypeError(f"unsupported window {window!r}")
     keys = list(keys or [])
     group_cols = keys + (["window_start"] if window is not None else [])

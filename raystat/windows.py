@@ -74,11 +74,17 @@ def assign_windows(
     ``Table.take``).  Session is handled by the dedicated session
     operator, not here."""
     ts_us = ts_to_epoch_us(batch[ts_col])
-    if isinstance(window, Tumbling):
+    # dispatch by class NAME, not isinstance: when the driver ships
+    # raystat by value (cloudpickle register_pickle_by_value in
+    # __ray_entry__) a worker that can ALSO import raystat from its
+    # sys.path ends up with two copies of these classes, and a window
+    # instance pickled from one copy fails isinstance against the other
+    kind = type(window).__name__
+    if kind == "Tumbling":
         size_us = window.size_s * 1_000_000
         ws = (ts_us // size_us) * window.size_s
         return batch, ws
-    if isinstance(window, Hopping):
+    if kind == "Hopping":
         hop_us = window.hop_s * 1_000_000
         size_us = window.size_s * 1_000_000
         k_max = ts_us // hop_us
