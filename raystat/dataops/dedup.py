@@ -28,6 +28,18 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raystat.dataops.graph import connected_components
+from raystat.dataops.pairs import (
+    OVERFLOW_SENTINEL,
+    bucket_partition,
+    pop_overflow,
+    segmented_capped_pairs,
+    sort_segments,
+    splitmix64,
+    verify_pairs_distributed,
+)
+from raystat.dataops.text import WS_RE
+
 __all__ = [
     "add_content_hash",
     "exact_dedup",
@@ -78,8 +90,6 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", n_parts: int
     size ``n_parts`` per pairs.bucket_partition's rule."""
     import ray
 
-    from raystat.dataops.pairs import bucket_partition
-
     def hash_id(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = _md5_64(batch[text_col].to_pylist())
@@ -92,8 +102,6 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", n_parts: int
         """All hash groups of one partition in ONE vectorized sweep:
         sort by (hash, id); the first row per hash is the global min
         (keeper), everything else loses.  No per-group Python."""
-        from raystat.dataops.pairs import sort_segments
-
         ids = g["_id"].to_numpy()
         order, starts = sort_segments(ids, g["content_hash"].to_numpy())
         first = np.zeros(len(ids), dtype=bool)
@@ -181,8 +189,6 @@ def near_dedup_lp(ds, pairs, id_col: str = "doc_id"):
     import ray
     import ray.data as rd
 
-    from raystat.dataops.graph import connected_components
-
     edges = pd.DataFrame(
         {"a": np.asarray(pairs["doc_a"], dtype=np.int64),
          "b": np.asarray(pairs["doc_b"], dtype=np.int64)}
@@ -212,8 +218,6 @@ def shingle_set(text: str, k: int = 3) -> set[int]:
     """Word k-shingles hashed to int (crc of joined words); ASCII
     token model (text.WS_RE) shared with the SQL twins."""
     import zlib
-
-    from raystat.dataops.text import WS_RE
 
     words = WS_RE.findall(text or "")
     if len(words) < k:
@@ -321,14 +325,6 @@ def minhash_lsh_pairs(
        boilerplate-heavy corpora (many same-prefix docs colliding in
        bands with low true Jaccard) from degrading into a per-pair
        set-intersect storm."""
-    from raystat.dataops.pairs import (
-        bucket_partition,
-        pop_overflow,
-        segmented_capped_pairs,
-        sort_segments,
-        verify_pairs_distributed,
-    )
-
     def bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         t = _band_rows(ids, minhash_signatures_batch(batch, text_col))
@@ -416,13 +412,6 @@ def exact_dup_pairs(
     minhash/simhash output; its SQL twin is a self-join on text).
     Shuffles (content_hash, id) only; each partition's hash groups
     pair in one vectorized sweep (capped like any LSH bucket)."""
-    from raystat.dataops.pairs import (
-        bucket_partition,
-        pop_overflow,
-        segmented_capped_pairs,
-        sort_segments,
-    )
-
     def hash_id(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = _md5_64(batch[text_col].to_pylist())
@@ -461,8 +450,6 @@ def _shingle_strings(text: str, k: int = 3) -> set[str]:
     """Word k-shingle STRINGS (the same shingling as shingle_set,
     pre-hash) — the form DuckDB can reproduce with string_split +
     list_transform."""
-    from raystat.dataops.text import WS_RE
-
     words = WS_RE.findall(text or "")
     if len(words) < k:
         return {" ".join(words)} if words else set()
@@ -529,14 +516,10 @@ def simhash_pairs(
     ``bucket_cap`` — overflow counts land in ``metrics``).  Hamming
     verify runs INSIDE the bucket map_groups — only verified pairs
     leave the workers."""
-    from raystat.dataops.pairs import OVERFLOW_SENTINEL, pop_overflow, splitmix64
-
     def sh(batch: pa.Table) -> pa.Table:
         return simhash_batch(batch, text_col, id_col)
 
     def bands(batch: pa.Table) -> pa.Table:
-        from raystat.dataops.pairs import bucket_partition
-
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         parts = []
@@ -597,8 +580,6 @@ def simhash_pairs(
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """All buckets of one partition in a single vectorized sweep;
         Python touches only the COLLIDING segments."""
-        from raystat.dataops.pairs import sort_segments
-
         ids = g["doc_id"].to_numpy().astype(np.int64)
         order, starts = sort_segments(
             ids, g["band_id"].to_numpy(), g["band_hash"].to_numpy()

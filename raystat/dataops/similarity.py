@@ -15,6 +15,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raystat.dataops.pairs import (
+    bucket_partition,
+    pop_overflow,
+    segmented_capped_pairs,
+    sort_segments,
+    verify_pairs_distributed,
+)
+
 __all__ = [
     "ann_topk",
     "embedding_dup_pairs",
@@ -417,13 +425,6 @@ def embedding_lsh_pairs(
     n_tables for higher recall); exact dups (cos=1) always collide.
     Oversized buckets (e.g. many zero/identical vectors) sub-split at
     ``bucket_cap``; overflow counts land in ``metrics``."""
-    from raystat.dataops.pairs import (
-        bucket_partition,
-        pop_overflow,
-        segmented_capped_pairs,
-        verify_pairs_distributed,
-    )
-
     rng = np.random.default_rng(seed)
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first[vec_col][0])
@@ -462,8 +463,6 @@ def embedding_lsh_pairs(
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # all buckets of one partition in one vectorized sweep
-        from raystat.dataops.pairs import sort_segments
-
         ids = g["vec_id"].to_numpy().astype(np.int64)
         order, starts = sort_segments(
             ids, g["table_id"].to_numpy(), g["bucket"].to_numpy()

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raystat.windows import assign_windows
+
 from raystat.dataops.pairs import splitmix64
 
 __all__ = [
@@ -123,8 +125,6 @@ def grouped_exact_distinct(ds, key, value: str, *, window=None, ts: str = "ts"):
 
     def local_dedup(batch: pa.Table) -> pa.Table:
         if window is not None:
-            from raystat.windows import assign_windows
-
             batch, ws = assign_windows(batch, ts, window)
             batch = batch.append_column(
                 "window_start", pa.array(ws, type=pa.int64())

@@ -2209,7 +2209,9 @@ def _q_percentile_rank(sf_dir):
         for key, idx in s.groupby(s).groups.items():
             vals, below, n = maps[key]
             pos = np.searchsorted(vals, v[idx])
-            pr[idx] = below[pos] / (n - 1.0)
+            # SQL percent_rank is 0 for a one-row partition (n=1 would
+            # otherwise divide by zero here)
+            pr[idx] = below[pos] / (n - 1.0) if n > 1 else 0.0
         return pa.table(
             {
                 "event_id": batch["event_id"],

@@ -17,9 +17,11 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from raystat.extract import event_time_us_from_numeric, numeric_doc_id
 from raystat.fixtures import epoch_len_us
+from raystat.scratch import tune_allocator
 
 VOCAB = 50257
 _POLY_MOD = 1_000_003
@@ -38,34 +40,92 @@ def word_token_id(w: str) -> int:
 __all__ = ["tokenize_batch", "tokenize_documents", "documents_stream_fixture"]
 
 
-def tokenize_batch(batch: pa.Table) -> pa.Table:
-    """documents rows -> token-table rows (vectorized where possible;
-    per-unique-word crc cache keeps the word loop tiny)."""
-    from raystat.scratch import tune_allocator
+def _string_layout(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets[int64, n+1], data[uint8]) views of a StringArray,
+    honoring a possible array-level slice offset.  Zero-copy."""
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return off, data
 
+
+def hash_words(words: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized ``word_token_id`` over a string array: a positionwise
+    Horner fold ``h = (h*31 + byte) % 1_000_003`` over the raw UTF-8
+    value buffer (each pass touches only the words still longer than
+    the position, so total work is O(total bytes)), then ``% VOCAB``.
+    Bytes equal codepoints only for ASCII, so the rare words carrying
+    a multibyte character are re-hashed exactly via the scalar fold."""
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n = len(words)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    off, data = _string_layout(words)
+    starts, lens = off[:-1], off[1:] - off[:-1]
+    h = np.zeros(n, dtype=np.int64)
+    alive = np.arange(n, dtype=np.int64)
+    for j in range(int(lens.max())):
+        alive = alive[lens[alive] > j]
+        ha = h[alive]
+        np.multiply(ha, 31, out=ha)
+        ha += data[starts[alive] + j]
+        np.remainder(ha, _POLY_MOD, out=ha)
+        h[alive] = ha
+    codes = (h % VOCAB).astype(np.int32)
+    seg = data[off[0] : off[-1]]
+    if seg.size and int(seg.max()) >= 0x80:
+        # per-word max byte; all words here are non-empty (reduceat-safe)
+        mx = np.maximum.reduceat(data, starts) if n > 1 else np.array([seg.max()])
+        for i in np.flatnonzero(mx >= 0x80):
+            codes[i] = word_token_id(words[int(i)].as_py())
+    return codes
+
+
+def tokenize_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> token-table rows, fully vectorized: Arrow
+    ascii_split_whitespace (byte-identical to the WS_RE ``\\S+`` findall
+    after dropping the boundary empties it keeps), dictionary-encode so
+    each UNIQUE word is hashed once, positionwise-Horner ``hash_words``
+    scatter.  No per-row or per-word Python in the hot path."""
     tune_allocator()
-    texts = batch["text"].to_pylist()
-    words_per_doc = [_WS.findall(t or "") for t in texts]
-    n_tok = np.array([len(w) for w in words_per_doc], dtype=np.int32)
-    # hash each UNIQUE word once; scatter back with the factorization
-    all_words = np.array(
-        [w for ws in words_per_doc for w in ws], dtype=object
-    )
-    if all_words.size:
-        uniq, inv = np.unique(all_words, return_inverse=True)
-        codes = np.fromiter(
-            (word_token_id(w) for w in uniq), dtype=np.int32, count=len(uniq)
-        )
-        flat = codes[inv]
+    txt = batch["text"].combine_chunks() if isinstance(
+        batch["text"], pa.ChunkedArray
+    ) else batch["text"]
+    wl = pc.ascii_split_whitespace(pc.fill_null(txt, ""))
+    if isinstance(wl, pa.ChunkedArray):
+        wl = wl.combine_chunks()
+    loff = wl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = int(loff[0])
+    vals = wl.values.slice(lo, int(loff[-1]) - lo)
+    # the split keeps ''-tokens at whitespace boundaries; drop them and
+    # recount per row via a cumsum over the keep mask
+    keep = np.asarray(pc.binary_length(vals)) > 0
+    cum = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum(keep, out=cum[1:])
+    rel = loff - lo
+    n_tok = (cum[rel[1:]] - cum[rel[:-1]]).astype(np.int32)
+    flat_words = vals.filter(pa.array(keep))
+    if len(flat_words):
+        d = pc.dictionary_encode(flat_words)
+        flat = hash_words(d.dictionary)[
+            d.indices.to_numpy(zero_copy_only=False)
+        ]
     else:
         flat = np.zeros(0, dtype=np.int32)
-    offsets = np.zeros(len(texts) + 1, dtype=np.int32)
+    offsets = np.zeros(batch.num_rows + 1, dtype=np.int32)
     np.cumsum(n_tok, out=offsets[1:])
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_id = np.char.add("doc-", np.char.zfill(ids.astype(str), 12))
+    doc_id = pc.binary_join_element_wise(
+        pa.scalar("doc-"),
+        pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 12, "0"),
+        pa.scalar(""),
+    )
     return pa.table(
         {
-            "doc_id": pa.array(doc_id, pa.string()),
+            "doc_id": doc_id.combine_chunks()
+            if isinstance(doc_id, pa.ChunkedArray)
+            else doc_id,
             "tokens": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
             "n_tok": pa.array(n_tok, pa.int32()),
             "source": batch["source"],

@@ -326,7 +326,16 @@ def _partial_stage(
                 np.cumsum(counts) - counts, counts
             )
             ws = (np.repeat(k_min, counts) + offs) * hop_s
-            win_open = (ws + size_s) > watermark_s  # earlier windows may be closed
+            # earlier covering windows may already be closed; the frontier
+            # that closes them must match the one used for row_keep and
+            # StatePartition.close_windows — per-source when src_wm is set,
+            # else the global scalar (a lagging source's early windows stay
+            # open under per-source watermarks even when the global frontier
+            # has passed them).
+            if src_wm is not None:
+                win_open = (ws + size_s) > wm_arr[src_code][row_of]
+            else:
+                win_open = (ws + size_s) > watermark_s
             if not win_open.all():
                 row_of, ws = row_of[win_open], ws[win_open]
             g_src = src_code[row_of]

@@ -235,12 +235,20 @@ def test_property_weighted(v, seed, n_chunks):
     rng = np.random.default_rng(seed)
     w = rng.uniform(0.0, 10.0, size=len(v))
     stable = _centered_var(v, w) > 1e-2 and _cond(v, w) < 3e3
+    # the naive power-sum variance cancels to ~eps*E[x^2] when the true
+    # variance is 0 (e.g. v=[100,100]), so the stddev it yields has an
+    # irreducible noise floor of ~sqrt(eps)*rms(v) — the tolerance must
+    # carry that scale or exact-constant inputs fail spuriously
+    msq = float((w * np.square(v)).sum() / w.sum()) if w.sum() > 0 else 0.0
+    std_abs = 1e-6 + 4.0 * math.sqrt(np.finfo(float).eps * msq)
     for name in ("weighted_average", "stddev_weighted", "skewness_weighted", "kurtosis_weighted"):
         expected = oracles.evaluate(name, v, w)
         got = run_spec(name, v, w, n_chunks=min(n_chunks, max(1, len(v))))
         if math.isnan(expected):
             assert math.isnan(got), name
-        elif stable or name in ("weighted_average", "stddev_weighted"):
+        elif name == "stddev_weighted":
+            assert got == pytest.approx(expected, rel=1e-6, abs=std_abs), name
+        elif stable or name == "weighted_average":
             assert got == pytest.approx(expected, rel=1e-6, abs=1e-6), name
 
 

@@ -1100,3 +1100,75 @@ def test_per_source_watermark_keeps_lagging_source(ray_session, tmp_path):
         ["source", "window_start", "wavg", "wstd"]
     ].sort_values(["source", "window_start"], ignore_index=True)
     pd.testing.assert_frame_equal(b, got, check_dtype=False)
+
+
+def test_per_source_watermark_hopping(ray_session, tmp_path):
+    """Hopping + watermark_scope='per_source': the window-open filter in
+    the partial stage must use the per-SOURCE frontier, not the global
+    one — otherwise a lagging source's rows survive row_keep but their
+    earlier covering hopping windows are silently dropped at expansion
+    time, and those windows (still open in the state store) later emit
+    undercounted aggregates.  The per-source result must equal the
+    batch hopping aggregate over the full input; nothing may drop."""
+    from raystat.aggregate import grouped_moments
+    from raystat.extract import T0_US
+    from raystat.fixtures import epoch_len_us, synth_token_block
+    from raystat.windows import Hopping
+
+    import ray.data as rd
+
+    n_epochs = 4
+    blk = synth_token_block(7, 4000)
+    ev_us = event_time_us_from_numeric(numeric_doc_id(blk["doc_id"]))
+    epoch = (ev_us - T0_US) // epoch_len_us(n_epochs)
+    src = np.asarray(blk["source"].to_pylist())
+    lag = src == "web"  # the hot source arrives entirely in the last epoch
+    arrival = np.where(lag, n_epochs - 1, np.minimum(epoch, n_epochs - 1))
+
+    fix = str(tmp_path / "skewed_hop")
+    for e in range(n_epochs):
+        d = os.path.join(fix, f"arrival={e}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            blk.filter(pa.array(arrival == e)), os.path.join(d, "part-0.parquet")
+        )
+
+    out = "/tmp/rs_wm_persrc_hop"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = StreamConfig(
+        specs={"wavg": "weighted_average", "wstd": "stddev_weighted"},
+        window_size_s=21600,
+        hop_s=7200,
+        allowed_lateness_s=60,
+        n_partitions=4,
+        n_salts=2,
+        watermark_scope="per_source",
+    )
+    drv = StreamDriver(fix, out, cfg)
+    m = drv.run()
+    assert sum(e["late_dropped"] for e in m["epochs"].values()) == 0
+    res = drv.result_table().to_pandas()
+
+    batch = (
+        grouped_moments(
+            rd.from_arrow(
+                blk.append_column("ts_s", pa.array(ev_us // 1_000_000))
+            ),
+            {"wavg": "weighted_average", "wstd": "stddev_weighted"},
+            ["source"],
+            value="n_tok",
+            weight="n_tok",
+            window=Hopping(21600, 7200),
+            ts="ts_s",
+        )
+        .to_pandas()
+        .sort_values(["source", "window_start"], ignore_index=True)
+    )
+    got = res[["source", "window_start", "wavg", "wstd"]].sort_values(
+        ["source", "window_start"], ignore_index=True
+    )
+    # every early-web hopping window must be present (the bug dropped them)
+    pd.testing.assert_frame_equal(
+        got, batch[["source", "window_start", "wavg", "wstd"]],
+        check_dtype=False, atol=1e-9, rtol=1e-9,
+    )
