@@ -144,16 +144,30 @@ def tokenize_documents(sf_dir: str):
     return ds.map_batches(tokenize_batch, batch_format="pyarrow")
 
 
-def documents_stream_fixture(sf_dir: str, n_epochs: int = 4, root: str = "/tmp/raystat_fixtures") -> str:
+def documents_stream_fixture(
+    sf_dir: str,
+    n_epochs: int = 4,
+    root: str = "/tmp/raystat_fixtures",
+    lag_source: str | None = None,
+) -> str:
     """Materialize the derived token table as an arrival-partitioned
     stream (arrival == event epoch; lateness paths are exercised by the
-    synthetic fixture instead).  Cached per sf_dir; returns the dir."""
+    synthetic fixture instead).  With ``lag_source`` set, that source's
+    rows ALL arrive in the last epoch (still in their own event-time
+    order) — the skewed-arrival shape that distinguishes per-source
+    from global watermarking.  Cached per sf_dir; returns the dir."""
     import pyarrow.parquet as pq
 
     tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(root, f"docs_{tag}_e{n_epochs}")
+    lag_tag = f"_lag_{lag_source}" if lag_source else ""
+    out = os.path.join(root, f"docs_{tag}_e{n_epochs}{lag_tag}")
     done = os.path.join(out, "_fixture.json")
-    params = {"sf_dir": sf_dir, "n_epochs": n_epochs, "tok_v": _TOKENIZER_VERSION}
+    params = {
+        "sf_dir": sf_dir,
+        "n_epochs": n_epochs,
+        "tok_v": _TOKENIZER_VERSION,
+        "lag_source": lag_source,
+    }
     import json
 
     if os.path.exists(done):
@@ -177,10 +191,14 @@ def documents_stream_fixture(sf_dir: str, n_epochs: int = 4, root: str = "/tmp/r
     from raystat.extract import T0_US
 
     epoch = (ev_us - T0_US) // epoch_len_us(n_epochs)
-    for e in np.unique(epoch):
+    arrival = np.minimum(epoch, n_epochs - 1)
+    if lag_source is not None:
+        lag = np.asarray(tok["source"].to_pylist()) == lag_source
+        arrival = np.where(lag, n_epochs - 1, arrival)
+    for e in np.unique(arrival):
         d = os.path.join(tmp, f"arrival={int(e)}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(tok.filter(pa.array(epoch == e)), os.path.join(d, "part-00000.parquet"))
+        pq.write_table(tok.filter(pa.array(arrival == e)), os.path.join(d, "part-00000.parquet"))
     with open(os.path.join(tmp, "_fixture.json"), "w") as f:
         json.dump(params, f)
     os.replace(tmp, out)

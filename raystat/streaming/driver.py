@@ -433,29 +433,37 @@ def _session_partial_stage(
     value_col, weight_col = cfg.value_col, cfg.weight_col
     token_stats = cfg.token_stats
 
+    def empty_part() -> pa.Table:
+        cols = {"source": pa.array([], pa.string())}
+        for c in needed:
+            cols[c] = pa.array([], pa.int64() if c == "u_n" else pa.float64())
+        cols["session_start_us"] = pa.array([], pa.int64())
+        cols["session_end_us"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
     def fn(batch: pa.Table) -> tuple[pa.Table, dict]:
+        """Same lexsort/segment machinery as the keyed partial stage:
+        dictionary source codes, one lexsort by (source, ts), run
+        breaks at gap, bincount power sums per segment — no pandas
+        frame or per-group Python in the per-batch path."""
         rows_in = batch.num_rows
         ids = numeric_doc_id(batch["doc_id"])
         ts_us = event_time_us_from_numeric(ids)
         max_ts = int(ts_us.max()) if rows_in else -1
-        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        sd = pc.dictionary_encode(batch["source"].combine_chunks())
+        src_code = sd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        src_vocab = sd.dictionary
         if src_wm is not None:
-            wm_row = (
-                pd.Series(src).map(src_wm).fillna(-(2**62)).to_numpy(np.int64)
+            wm_arr = np.array(
+                [src_wm.get(s, -(2**62)) for s in src_vocab.to_pylist()],
+                dtype=np.int64,
             )
-            keep = (ts_us // 1_000_000) > wm_row
-            sd = pc.dictionary_encode(batch["source"].combine_chunks())
-            extra_info = {
-                "src_max_json": _src_max_json(
-                    sd,
-                    ts_us,
-                    sd.indices.to_numpy(zero_copy_only=False).astype(np.int64),
-                )
-            }
+            keep = (ts_us // 1_000_000) > wm_arr[src_code]
+            extra_info = {"src_max_json": _src_max_json(sd, ts_us, src_code)}
         else:
             keep = (ts_us // 1_000_000) > watermark_s
             extra_info = {}
-        late_n = int((~keep).sum())
+        late_n = rows_in - int(keep.sum())
         x = batch[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         w = (
             batch[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
@@ -464,51 +472,62 @@ def _session_partial_stage(
         )
         tr = _row_token_sums(batch, cfg.tokens_col, rows_in) if token_stats else None
         if late_n:
-            src, ts_us, x = src[keep], ts_us[keep], x[keep]
-            w = w[keep] if w is not None else None
+            kept = np.flatnonzero(keep)
+            src_code, ts_us, x = src_code[kept], ts_us[kept], x[kept]
+            w = w[kept] if w is not None else None
             if tr is not None:
-                tr = {c: v[keep] for c, v in tr.items()}
-        df = pd.DataFrame({"source": src, "_ts": ts_us})
-        if u_order:
-            df["u_n"] = np.ones(len(df), dtype=np.int64)
-            df["u_s1"] = x
-            px = x
-            for i in range(2, u_order + 1):
-                px = px * x
-                df[f"u_s{i}"] = px
-        if w_order:
-            df["w_sw"] = w
-            df["w_sv"] = w * x
-            px = x
-            for i in range(2, w_order + 1):
-                px = px * x
-                df[f"w_s{i}"] = w * px
-        if tr is not None:
-            for c, v in tr.items():
-                df[c] = v
-        if "c_sxy" in needed:
-            y = tr["t_s1"]
-            df["c_syy"] = y * y
-            df["c_sxy"] = x * y
-        df = df.sort_values(["source", "_ts"], kind="stable", ignore_index=True)
-        if len(df):
-            sv = df["source"].to_numpy()
-            tv = df["_ts"].to_numpy()
-            brk = np.ones(len(df), dtype=bool)
-            brk[1:] = (sv[1:] != sv[:-1]) | ((tv[1:] - tv[:-1]) > gap_us)
-            df["_sess"] = np.cumsum(brk)
-        else:
-            df["_sess"] = np.array([], dtype=np.int64)
-        g = df.groupby(["source", "_sess"], sort=False, as_index=False).agg(
-            **{c: (c, "sum") for c in needed},
-            session_start_us=("_ts", "min"),
-            session_end_us=("_ts", "max"),
-        )
-        part = pa.Table.from_pandas(g.drop(columns=["_sess"]), preserve_index=False)
-        return part, {
+                tr = {c: v[kept] for c, v in tr.items()}
+        info = {
             "max_ts_us": max_ts, "late_dropped": late_n, "rows_in": rows_in,
             **extra_info,
         }
+        n = x.size
+        if n == 0:
+            return empty_part(), info
+
+        order = np.lexsort((ts_us, src_code))
+        sc, tv = src_code[order], ts_us[order]
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (sc[1:] != sc[:-1]) | ((tv[1:] - tv[:-1]) > gap_us)
+        starts = np.flatnonzero(brk)
+        seg = np.cumsum(brk) - 1  # segment index per sorted row
+        nseg = starts.size
+
+        def ssum(v: np.ndarray) -> np.ndarray:
+            return np.bincount(seg, weights=v[order], minlength=nseg)
+
+        sums: dict[str, np.ndarray] = {}
+        if u_order:
+            sums["u_n"] = np.bincount(seg, minlength=nseg).astype(np.int64)
+            sums["u_s1"] = ssum(x)
+            px = x
+            for i in range(2, u_order + 1):
+                px = px * x
+                sums[f"u_s{i}"] = ssum(px)
+        if w_order:
+            sums["w_sw"] = ssum(w)
+            sums["w_sv"] = ssum(w * x)
+            px = x
+            for i in range(2, w_order + 1):
+                px = px * x
+                sums[f"w_s{i}"] = ssum(w * px)
+        if tr is not None:
+            for c, v in tr.items():
+                sums[c] = ssum(v)
+        if "c_sxy" in needed:
+            y = tr["t_s1"]
+            sums["c_syy"] = ssum(y * y)
+            sums["c_sxy"] = ssum(x * y)
+        ends = np.append(starts[1:], n) - 1  # ts-sorted: last row = max ts
+        part = pa.table(
+            {
+                "source": src_vocab.take(pa.array(sc[starts])),
+                **{c: pa.array(sums[c]) for c in needed},
+                "session_start_us": pa.array(tv[starts]),
+                "session_end_us": pa.array(tv[ends]),
+            }
+        )
+        return part, info
 
     return fn
 

@@ -1295,3 +1295,14 @@ def test_near_dedup_lp_equals_unionfind(ray_session):
     )
     pd.testing.assert_series_equal(a, b)
     assert len(a) < tbl.num_rows  # the planted dups really dropped
+
+
+def test_dedup_overflow_metrics_zero_at_sf001(ray_session):
+    """The capped pair generators must not overflow any bucket on the
+    driver testdata at sf0.01 — nonzero overflow there would mean the
+    caps are silently trading recall at TEST scale, not just guarding
+    the degenerate 100-TB hot-bucket case."""
+    from raystat.pipelines.queries import _q_dedup_overflow
+
+    row = _q_dedup_overflow("/root/testdata/sf0.01").iloc[0]
+    assert (row == 0).all(), dict(row)
