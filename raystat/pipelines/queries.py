@@ -3622,6 +3622,85 @@ QUERIES.append(
 )
 
 
+def _q_interval_join_events(sf_dir):
+    """Attribution pairing: every purchase matched to ALL of the same
+    user's click/view touches in the 2 hours at-or-before it — a
+    stream-stream windowed join (ksqlDB ``JOIN ... WITHIN``), the
+    pair-emitting complement of the as-of join's latest-only lookup
+    (dataops/interval_join.py: ONE key-hash co-partitioning shuffle,
+    then a composite-searchsorted sweep + repeat/cumsum pair expansion
+    per partition — no per-key or per-pair Python)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raystat.dataops.interval_join import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def left_side(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"], "purchase_id": t["event_id"]}
+        )
+
+    def right_side(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array(["click", "view"]))
+        t = b.filter(m)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "touch_id": t["event_id"],
+                "touch_ts": t["ts"],
+            }
+        )
+
+    joined = interval_join(
+        ev.map_batches(left_side, batch_format="pyarrow"),
+        ev.map_batches(right_side, batch_format="pyarrow"),
+        by="user_id",
+        on="ts",
+        right_cols=["touch_id", "touch_ts"],
+        before=np.timedelta64(2, "h"),
+        after=np.timedelta64(0, "s"),
+        n_parts=32,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            b["ts"].cast(pa.int64()), b["touch_ts"].cast(pa.int64())
+        )
+        return pa.table(
+            {
+                # ids ride the tagged union as nullable (other side's rows),
+                # so pandas floats them — cast back to the source int64
+                "purchase_id": b["purchase_id"].cast(pa.int64()),
+                "user_id": b["user_id"],
+                "touch_id": b["touch_id"].cast(pa.int64()),
+                "gap_us": gap,
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES.append(
+    QueryDef(
+        "interval_join_events",
+        _q_interval_join_events,
+        """WITH l AS (SELECT event_id AS purchase_id, user_id, ts
+                      FROM events WHERE event_type = 'purchase'),
+             r AS (SELECT event_id AS touch_id, user_id, ts
+                   FROM events WHERE event_type IN ('click','view'))
+           SELECT l.purchase_id, l.user_id, r.touch_id,
+                  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+           FROM l JOIN r ON l.user_id = r.user_id
+            AND r.ts BETWEEN l.ts - INTERVAL 2 HOUR AND l.ts""",
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # --------------------------------------------------------------------------
