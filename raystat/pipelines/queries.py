@@ -3701,6 +3701,72 @@ QUERIES.append(
 )
 
 
+def _q_streaming_interval_join(sf_dir):
+    """The SAME purchase-to-touch WITHIN join run through the STREAMING
+    engine (streaming/interval.py): arrival-epoch micro-batches,
+    key-hash-partitioned join-state actors, event-time watermarks, and
+    exactly-once per-epoch pair commits.  A left row emits its complete
+    pair set once the watermark passes ``ts + after`` (all matching
+    rights have then arrived); right state retires behind the WITHIN
+    horizon, so join state is bounded by before+after+lateness of the
+    stream head, not stream length.  Fixture lateness (200h > the ~176h
+    one-epoch arrival lag of the deterministic late subset) keeps every
+    row live, so the streamed result equals the batch SQL twin."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from raystat.streaming.interval import (
+        IntervalJoinConfig,
+        IntervalStreamDriver,
+        events_interval_fixture,
+    )
+
+    fix = events_interval_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_ivj_q_")
+    try:
+        cfg = IntervalJoinConfig(
+            by="user_id",
+            on="ts_us",
+            right_cols=("touch_id", "touch_ts_us"),
+            before_s=7200,
+            after_s=0,
+            allowed_lateness_s=200 * 3600,
+            n_partitions=8,
+        )
+        drv = IntervalStreamDriver(fix, out, cfg)
+        drv.run()
+        t = drv.result_table()
+        gap = pa.compute.subtract(t["ts_us"], t["touch_ts_us"])
+        return pa.table(
+            {
+                "purchase_id": t["purchase_id"],
+                "user_id": t["user_id"],
+                "touch_id": t["touch_id"],
+                "gap_us": gap,
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_interval_join",
+        _q_streaming_interval_join,
+        """WITH l AS (SELECT event_id AS purchase_id, user_id, ts
+                      FROM events WHERE event_type = 'purchase'),
+             r AS (SELECT event_id AS touch_id, user_id, ts
+                   FROM events WHERE event_type IN ('click','view'))
+           SELECT l.purchase_id, l.user_id, r.touch_id,
+                  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+           FROM l JOIN r ON l.user_id = r.user_id
+            AND r.ts BETWEEN l.ts - INTERVAL 2 HOUR AND l.ts""",
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # --------------------------------------------------------------------------
