@@ -309,6 +309,20 @@ def main() -> None:
     _q_asof_purchase_events(SF_DIR).count()
     queries["asof_purchase_events"] = round(time.time() - t0, 3)
 
+    # interval join (stream-stream WITHIN): batch pairs + the streaming
+    # stateful variant with watermarked pair emission
+    from raystat.pipelines.queries import (
+        _q_interval_join_events,
+        _q_streaming_interval_join,
+    )
+
+    t0 = time.time()
+    _q_interval_join_events(SF_DIR).count()
+    queries["interval_join_events"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _q_streaming_interval_join(SF_DIR)
+    queries["streaming_interval_join"] = round(time.time() - t0, 3)
+
     # CEP funnel + big x big hash join over the TPC-H tables
     from raystat.pipelines.queries import _q_funnel_events, _q_revenue_by_nation
 

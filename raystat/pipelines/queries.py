@@ -3811,11 +3811,11 @@ _DRIVER_WINDOW = [
     "near_dup_components_documents",
     "dedup_near_documents",
     "dedup_overflow_metrics",
-    # LLM-data: similarity / ANN (4)
+    # LLM-data: similarity / ANN (3; the quantized-recall gate shares
+    # the ANN family rows and follows after)
     "ann_topk_embeddings",
     "ann_topk_ivf_pruned_recall",
     "embedding_lsh_pairs",
-    "ann_topk_quantized_recall",
     # LLM-data: text analysis (2; lang-id/quality/BPE/normalize/redact
     # share the text-ops family row with token_count)
     "token_count_documents",
@@ -3836,10 +3836,11 @@ _DRIVER_WINDOW = [
     "token_doc_freq",
     "correlation_lineitem",
     "rollup_token_stats",
-    # joins / CEP (4)
+    # joins / CEP (5)
     "customer_stats_by_region",
     "revenue_by_nation",
     "asof_purchase_events",
+    "streaming_interval_join",
     "funnel_events",
 ]
 
