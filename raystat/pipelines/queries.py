@@ -3767,6 +3767,63 @@ QUERIES.append(
 )
 
 
+def _q_streaming_distinct_users(sf_dir):
+    """STREAMING windowed approximate COUNT DISTINCT (streaming/
+    sketch.py): per-(event_type, 7-day tumbling window) HyperLogLog
+    register state through the engine's epoch/watermark/exactly-once
+    conventions — registers merge by element-wise max (associative,
+    commutative, IDEMPOTENT, so replays can never over-count), and the
+    streamed estimate equals the batch estimate over the same rows
+    regardless of arrival order.  Gated against the exact distributed
+    windowed distinct (same pattern as hll_distinct_accuracy: the
+    sketch hash is deterministic, so the 5% boolean is stable per sf
+    and the driver's equality compare verifies it)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from raystat.dataops.sketches import grouped_exact_distinct
+    from raystat.streaming.sketch import HllStreamDriver, events_stream_fixture
+
+    fix = events_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_hll_q_")
+    try:
+        drv = HllStreamDriver(
+            fix, out, key="event_type", value="user_id", ts_col="ts_us",
+            window_size_s=7 * DAY, allowed_lateness_s=200 * 3600,
+            n_partitions=8,
+        )
+        drv.run()
+        approx = drv.result_table().to_pandas().rename(
+            columns={"key": "event_type", "window_start_s": "window_start"}
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    exact = grouped_exact_distinct(
+        _read(sf_dir, "events", ["event_type", "ts", "user_id"]),
+        "event_type", "user_id", window=Tumbling(7 * DAY),
+    ).to_pandas()
+    m = pd.merge(exact, approx, on=["event_type", "window_start"])
+    m["within_5pct"] = (
+        (m["approx_distinct"] - m["n_distinct"]).abs() / m["n_distinct"] <= 0.05
+    )
+    return m[["event_type", "window_start", "n_distinct", "within_5pct"]]
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_distinct_users",
+        _q_streaming_distinct_users,
+        f"""SELECT event_type,
+                  cast(floor(epoch(ts)/{7 * DAY})*{7 * DAY} as bigint) AS window_start,
+                  count(DISTINCT user_id) AS n_distinct,
+                  true AS within_5pct
+           FROM events GROUP BY 1, 2""",
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # --------------------------------------------------------------------------

@@ -28,10 +28,8 @@ sides through one exchange.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
-import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -42,6 +40,7 @@ import ray
 
 from raystat.dataops.asof import _key_u64
 from raystat.dataops.interval_join import interval_join_frames
+from raystat.streaming.epochs import EpochDriverBase
 from raystat.streaming.sink import ExactlyOnceParquetSink
 
 __all__ = [
@@ -235,34 +234,19 @@ class IntervalRouter:
         )
 
 
-class IntervalStreamDriver:
+class IntervalStreamDriver(EpochDriverBase):
     """Epoch loop for the streaming interval join: read arrival=N →
     route/ingest → barrier → advance watermark → emit complete pairs →
     exactly-once commit → checkpoint.  Crash/resume replays the failed
     epoch from the last checkpoint; committed epochs re-commit as
-    no-ops (same protocol as the aggregate driver)."""
+    no-ops (same protocol as the aggregate driver).  Epoch/barrier/
+    checkpoint plumbing comes from EpochDriverBase."""
 
     def __init__(self, input_dir: str, out_dir: str, cfg: IntervalJoinConfig | None = None):
-        self.input_dir = input_dir
-        self.out_dir = out_dir
+        super().__init__(input_dir, out_dir)
         self.cfg = cfg or IntervalJoinConfig()
         self.sink = ExactlyOnceParquetSink(out_dir, "pairs")
-        self.ckpt_root = os.path.join(out_dir, "_checkpoints")
-        os.makedirs(self.ckpt_root, exist_ok=True)
         self.watermark_us = _NEG
-        self.metrics: dict[str, dict] = {}
-        self.actors: list | None = None
-        self._ingest_expected = 0
-
-    # -- epochs / actors (same conventions as StreamDriver) ----------------
-
-    def arrival_epochs(self) -> list[int]:
-        out = []
-        for d in glob.glob(os.path.join(self.input_dir, "arrival=*")):
-            m = re.search(r"arrival=(\d+)$", d)
-            if m:
-                out.append(int(m.group(1)))
-        return sorted(out)
 
     def _ensure_actors(self):
         if self.actors is None:
@@ -274,92 +258,12 @@ class IntervalStreamDriver:
                 for p in range(c.n_partitions)
             ]
 
-    def prepare(self):
-        self._ensure_actors()
-        ray.get([a.get_metrics.remote() for a in self.actors])
-        return self
+    def _driver_state(self) -> dict:
+        return {"watermark_us": self.watermark_us,
+                "committed": self.sink.committed_epochs()}
 
-    def _ingest_barrier(self, timeout_s: float = 600.0):
-        import time as _time
-
-        deadline = _time.monotonic() + timeout_s
-        while True:
-            done = sum(ray.get([a.ingest_count.remote() for a in self.actors]))
-            if done >= self._ingest_expected:
-                return
-            if _time.monotonic() > deadline:
-                raise TimeoutError(f"ingest barrier: {done}/{self._ingest_expected}")
-            _time.sleep(0.02)
-
-    # -- checkpoint / resume -------------------------------------------------
-
-    def _ckpt_dir(self, epoch: int) -> str:
-        return os.path.join(self.ckpt_root, f"epoch-{epoch:06d}")
-
-    def _checkpoint(self, epoch: int):
-        d = self._ckpt_dir(epoch)
-        os.makedirs(d, exist_ok=True)
-        ray.get([a.snapshot.remote(d, epoch) for a in self.actors])
-        tmp = os.path.join(d, "driver.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {"epoch": epoch, "watermark_us": self.watermark_us,
-                 "metrics": self.metrics}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(d, "driver.json"))
-
-    def latest_checkpoint(self) -> int | None:
-        done = [
-            int(m.group(1))
-            for d in glob.glob(os.path.join(self.ckpt_root, "epoch-*"))
-            if (m := re.search(r"epoch-(\d+)$", d))
-            and os.path.exists(os.path.join(d, "driver.json"))
-        ]
-        return max(done) if done else None
-
-    def _restore(self, epoch: int):
-        d = self._ckpt_dir(epoch)
-        with open(os.path.join(d, "driver.json")) as f:
-            st = json.load(f)
-        self.watermark_us = int(st["watermark_us"])
-        self.metrics = {str(k): v for k, v in st["metrics"].items()}
-        self._ensure_actors()
-        ray.get([a.restore.remote(d) for a in self.actors])
-
-    # -- main loop ------------------------------------------------------------
-
-    def run(self, stop_after_epoch: int | None = None, resume: bool = False) -> dict:
-        epochs = self.arrival_epochs()
-        if not epochs:
-            raise FileNotFoundError(f"no arrival=* dirs under {self.input_dir}")
-        start = 0
-        if resume:
-            ck = self.latest_checkpoint()
-            if ck is not None:
-                self._restore(ck)
-                start = ck + 1
-        self._ensure_actors()
-        for e in [x for x in epochs if x >= start]:
-            self._run_epoch(e)
-            self._checkpoint(e)
-            if stop_after_epoch is not None and e >= stop_after_epoch:
-                return self._final_metrics()
-        self._finalize_stream(epochs[-1] + 1)
-        return self._final_metrics()
-
-    def _epoch_dataset(self, epoch: int):
-        import ray.data as rd
-
-        files = sorted(
-            glob.glob(os.path.join(self.input_dir, f"arrival={epoch}", "*.parquet"))
-        )
-        if not files:
-            return None
-        total_bytes = sum(os.path.getsize(f) for f in files)
-        # cap at len(files): never split past file count (fusion; BASELINE.md)
-        nblocks = min(max(1, total_bytes // (2 * 1024 * 1024)), len(files))
-        return rd.read_parquet(files, override_num_blocks=int(nblocks))
+    def _load_driver_state(self, state: dict) -> None:
+        self.watermark_us = int(state["watermark_us"])
 
     def _run_epoch(self, epoch: int):
         ds = self._epoch_dataset(epoch)
@@ -409,10 +313,6 @@ class IntervalStreamDriver:
             "epoch": final_epoch,
             "state_metrics": ray.get([a.get_metrics.remote() for a in self.actors]),
         }
-
-    def _final_metrics(self) -> dict:
-        return {"epochs": self.metrics, "watermark_us": self.watermark_us,
-                "committed": self.sink.committed_epochs()}
 
     def result_table(self) -> pa.Table:
         return self.sink.read_all()

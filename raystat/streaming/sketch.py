@@ -1,0 +1,395 @@
+"""STREAMING windowed approximate COUNT DISTINCT — HyperLogLog
+register state through the engine's epoch/watermark/checkpoint
+conventions.  The third state kind in the streaming layer, after the
+sum-mergeable moment state (``state.py``) and the interval-join row
+buffers (``interval.py``): HLL registers merge by ELEMENT-WISE MAX,
+which is associative, commutative and idempotent — so replayed or
+reordered partials can never over-count, and the streamed estimate
+for a window is exactly the batch estimate over the same rows
+(identical registers), regardless of arrival order.
+
+Dataflow per epoch: one fused map_batches stage computes per-batch
+(key, window, registers) partials — a single flat ``np.maximum.at``
+scatter across all groups in the batch — and routes them to the
+owning state actor by key hash (4 KiB per (key, window, batch): the
+only cross-machine traffic; rows never shuffle).  Actors max-merge
+lazily at epoch end with one lexsort + ``np.maximum.reduceat`` over
+the stacked register matrix; windows close when the watermark passes
+``window_start + size`` and their estimates commit exactly-once.
+
+State per partition is O(open windows x keys) fixed-size registers —
+row-count independent, the property that makes this the scale path
+for distinct counts over unbounded streams where the exact
+local-dedup combiner (dataops/sketches.grouped_exact_distinct) would
+hold the whole distinct set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from raystat.dataops.asof import _key_u64
+from raystat.dataops.sketches import _M, _rho_and_idx, hll_estimate
+from raystat.streaming.epochs import EpochDriverBase
+from raystat.streaming.sink import ExactlyOnceParquetSink
+
+__all__ = ["HllStreamDriver", "events_stream_fixture"]
+
+_NEG = -(2**62)
+
+
+@ray.remote(num_cpus=0)
+class HllStatePartition:
+    """Register state for one key-hash partition: (key, window_start_s)
+    -> one M-byte register row.  ``ingest`` appends; the max-merge
+    happens lazily at epoch end as ONE lexsort + reduceat over the
+    stacked (pending + live) register matrix."""
+
+    def __init__(self, pid: int, window_size_s: int):
+        self.pid = pid
+        self.size_s = int(window_size_s)
+        self.pending: list[pa.Table] = []
+        self.keys: pd.DataFrame | None = None  # (key, window_start_s)
+        self.regs: np.ndarray | None = None  # (n_groups, M) uint8
+        self.error: str | None = None
+        self.metrics = {"partial_rows_in": 0, "ingests": 0, "windows_closed": 0}
+
+    def ingest_count(self) -> int:
+        if self.error is not None:
+            raise RuntimeError(f"hll partition {self.pid} ingest failed: {self.error}")
+        return self.metrics["ingests"]
+
+    def ingest(self, table: pa.Table) -> int:
+        try:
+            n = table.num_rows
+            if n:
+                self.pending.append(table)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:
+            self.error = repr(e)
+            n = 0
+        self.metrics["ingests"] += 1
+        return n
+
+    def _consolidate(self) -> None:
+        if not self.pending:
+            return
+        new = pa.concat_tables(self.pending)
+        self.pending = []
+        nk = new["key"].to_numpy(zero_copy_only=False)
+        nw = new["window_start_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = np.frombuffer(
+            b"".join(new["regs"].to_pylist()), dtype=np.uint8
+        ).reshape(-1, _M)
+        if self.keys is not None and len(self.keys):
+            nk = np.concatenate([self.keys["key"].to_numpy(), nk])
+            nw = np.concatenate([self.keys["window_start_s"].to_numpy(), nw])
+            nr = np.vstack([self.regs, nr])
+        codes, uniq = pd.factorize(
+            pd.MultiIndex.from_arrays([nk, nw]), sort=False
+        )
+        order = np.argsort(codes, kind="stable")
+        starts = np.flatnonzero(np.diff(codes[order], prepend=-1))
+        merged = np.maximum.reduceat(nr[order], starts, axis=0)
+        self.keys = pd.DataFrame(
+            {"key": uniq.get_level_values(0), "window_start_s": uniq.get_level_values(1).astype(np.int64)}
+        )
+        self.regs = merged
+
+    def close_windows(self, watermark_s) -> pa.Table:
+        """Estimate + retire every window with start + size <= wm."""
+        self._consolidate()
+        if self.keys is None or not len(self.keys):
+            return pa.table(
+                {"key": pa.array([], pa.string()),
+                 "window_start_s": pa.array([], pa.int64()),
+                 "approx_distinct": pa.array([], pa.float64())}
+            )
+        ws = self.keys["window_start_s"].to_numpy()
+        close = ws + self.size_s <= watermark_s
+        out_keys = self.keys[close]
+        est = [hll_estimate(r) for r in self.regs[close]]
+        self.metrics["windows_closed"] += int(close.sum())
+        self.keys = self.keys[~close].reset_index(drop=True)
+        self.regs = self.regs[~close]
+        return pa.table(
+            {
+                "key": pa.array(out_keys["key"].tolist(), pa.string()),
+                "window_start_s": pa.array(
+                    out_keys["window_start_s"].to_numpy(), pa.int64()
+                ),
+                "approx_distinct": pa.array(est, pa.float64()),
+            }
+        )
+
+    def get_metrics(self) -> dict:
+        return {"partition": self.pid, **self.metrics}
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._consolidate()
+        path = os.path.join(ckpt_dir, f"hll-p{self.pid:04d}.parquet")
+        tmp = path + ".tmp"
+        if self.keys is None or not len(self.keys):
+            t = pa.table(
+                {"key": pa.array([], pa.string()),
+                 "window_start_s": pa.array([], pa.int64()),
+                 "regs": pa.array([], pa.binary())}
+            )
+        else:
+            t = pa.table(
+                {
+                    "key": pa.array(self.keys["key"].tolist(), pa.string()),
+                    "window_start_s": pa.array(
+                        self.keys["window_start_s"].to_numpy(), pa.int64()
+                    ),
+                    "regs": pa.array(
+                        [r.tobytes() for r in self.regs], pa.binary()
+                    ),
+                }
+            )
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        path = os.path.join(ckpt_dir, f"hll-p{self.pid:04d}.parquet")
+        self.pending = []
+        self.keys = None
+        self.regs = None
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        if t.num_rows:
+            self.keys = pd.DataFrame(
+                {
+                    "key": t["key"].to_pylist(),
+                    "window_start_s": t["window_start_s"].to_numpy().astype(np.int64),
+                }
+            )
+            self.regs = np.frombuffer(
+                b"".join(t["regs"].to_pylist()), dtype=np.uint8
+            ).reshape(-1, _M).copy()
+        return t.num_rows
+
+
+class HllRouter:
+    """Fused partial+route stage: per-batch per-(key, window) HLL
+    register partials via ONE flat scatter-max across all groups, then
+    key-hash routing (fire-and-forget) and a bookkeeping row."""
+
+    def __init__(self, actors: list, n_partitions: int, key: str, value: str,
+                 ts_col: str, window_size_s: int, watermark_s: int):
+        self.actors = actors
+        self.P = n_partitions
+        self.key = key
+        self.value = value
+        self.ts_col = ts_col
+        self.size_s = int(window_size_s)
+        self.wm = int(watermark_s)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_in = batch.num_rows
+        ts_s = (
+            batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            // 1_000_000
+        )
+        max_ts = int(ts_s.max()) * 1_000_000 if rows_in else -1
+        # late rule: a row is droppable once its window has closed
+        win = (ts_s // self.size_s) * self.size_s
+        live = win + self.size_s > self.wm
+        late = int(rows_in - live.sum())
+        calls = 0
+        if live.any():
+            keys = batch[self.key].to_numpy(zero_copy_only=False)[live]
+            vals = batch[self.value].to_numpy(zero_copy_only=False)[live]
+            w = win[live]
+            codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([keys, w]))
+            regs = np.zeros(len(uniq) * _M, dtype=np.uint8)
+            idx, rho = _rho_and_idx(vals)
+            np.maximum.at(regs, codes.astype(np.int64) * _M + idx, rho)
+            gk = np.asarray(uniq.get_level_values(0))
+            gw = uniq.get_level_values(1).to_numpy().astype(np.int64)
+            part = (_key_u64(gk) % np.uint64(self.P)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            tbl = pa.table(
+                {
+                    "key": pa.array(gk[order].tolist(), pa.string()),
+                    "window_start_s": pa.array(gw[order], pa.int64()),
+                    "regs": pa.array(
+                        [
+                            regs[i * _M : (i + 1) * _M].tobytes()
+                            for i in order
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+            sp = part[order]
+            bounds = np.flatnonzero(np.diff(sp)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [sp.size]))
+            for s, e in zip(starts, ends):
+                self.actors[int(sp[s])].ingest.remote(tbl.slice(int(s), int(e - s)))
+                calls += 1
+        return pa.table(
+            {
+                "max_ts_us": pa.array([max_ts], pa.int64()),
+                "late_dropped": pa.array([late], pa.int64()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "ingest_calls": pa.array([calls], pa.int64()),
+            }
+        )
+
+
+class HllStreamDriver(EpochDriverBase):
+    """Epoch loop for streaming windowed approximate distinct counts:
+    read arrival=N → partial registers + route → barrier → advance
+    watermark → close ripe windows → exactly-once commit → checkpoint."""
+
+    def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
+                 value: str = "user_id", ts_col: str = "ts_us",
+                 window_size_s: int = 86400, allowed_lateness_s: int = 3600,
+                 n_partitions: int = 8, batch_size: int | None = None):
+        super().__init__(input_dir, out_dir)
+        self.key = key
+        self.value = value
+        self.ts_col = ts_col
+        self.size_s = int(window_size_s)
+        self.lateness_s = int(allowed_lateness_s)
+        self.n_partitions = n_partitions
+        self.batch_size = batch_size
+        self.sink = ExactlyOnceParquetSink(out_dir, "distinct")
+        self.watermark_s = _NEG
+
+    def _ensure_actors(self):
+        if self.actors is None:
+            self.actors = [
+                HllStatePartition.remote(p, self.size_s)
+                for p in range(self.n_partitions)
+            ]
+
+    def _driver_state(self) -> dict:
+        return {"watermark_s": self.watermark_s,
+                "committed": self.sink.committed_epochs()}
+
+    def _load_driver_state(self, state: dict) -> None:
+        self.watermark_s = int(state["watermark_s"])
+
+    def _run_epoch(self, epoch: int):
+        ds = self._epoch_dataset(epoch)
+        em = {"rows_in": 0, "late_dropped": 0, "max_ts_us": -1}
+        if ds is not None:
+            router = HllRouter(
+                self.actors, self.n_partitions, self.key, self.value,
+                self.ts_col, self.size_s, self.watermark_s,
+            )
+            kwargs = {"batch_format": "pyarrow", "max_retries": 0,
+                      "zero_copy_batch": True}
+            if self.batch_size:
+                kwargs["batch_size"] = self.batch_size
+            stats = ds.map_batches(router, **kwargs).to_pandas()
+            if len(stats):
+                em["rows_in"] = int(stats["rows_in"].sum())
+                em["late_dropped"] = int(stats["late_dropped"].sum())
+                em["max_ts_us"] = int(stats["max_ts_us"].max())
+                self._ingest_expected += int(stats["ingest_calls"].sum())
+            self._ingest_barrier()
+        if em["max_ts_us"] >= 0:
+            self.watermark_s = max(
+                self.watermark_s, em["max_ts_us"] // 1_000_000 - self.lateness_s
+            )
+        self._emit(epoch, self.watermark_s)
+        em["watermark_s"] = self.watermark_s
+        self.metrics[str(epoch)] = em
+
+    def _emit(self, epoch: int, watermark_s: int):
+        tables = [
+            t for t in ray.get(
+                [a.close_windows.remote(watermark_s) for a in self.actors]
+            )
+            if t.num_rows
+        ]
+        if tables:
+            out = pa.concat_tables(tables)
+            self.sink.commit(epoch, out, sort_by=["key", "window_start_s"])
+        else:
+            self.sink.commit(epoch, pa.table({}))
+
+    def _finalize_stream(self, final_epoch: int):
+        self._emit(final_epoch, 2**62)
+        self.metrics["final"] = {
+            "epoch": final_epoch,
+            "state_metrics": ray.get([a.get_metrics.remote() for a in self.actors]),
+        }
+
+    def result_table(self) -> pa.Table:
+        return self.sink.read_all()
+
+
+# -- fixture ------------------------------------------------------------------
+
+
+def events_stream_fixture(
+    sf_dir: str,
+    n_epochs: int = 4,
+    root: str = "/tmp/raystat_fixtures",
+) -> str:
+    """Materialize the events table as an arrival-partitioned stream
+    ``(event_type, ts_us, user_id)`` for the sketch driver: arrival
+    epoch = event-time quantile, with the deterministic 5% late subset
+    (event_id % 20 == 0) arriving one epoch behind.  Cached per
+    sf_dir; returns the fixture dir."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(root, f"events_str_{tag}_e{n_epochs}")
+    done = os.path.join(out, "_fixture.json")
+    params = {"sf_dir": sf_dir, "n_epochs": n_epochs, "v": 1}
+    if os.path.exists(done):
+        try:
+            with open(done) as f:
+                if json.load(f) == params:
+                    return out
+        except Exception:
+            pass
+    import shutil
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(tmp)
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    ts_us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    n = len(eid)
+    order = np.argsort(ts_us, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    epoch = np.minimum((rank * n_epochs) // max(n, 1), n_epochs - 1)
+    epoch = np.minimum(epoch + ((eid % 20) == 0), n_epochs - 1)
+    tbl = pa.table(
+        {
+            "event_type": t["event_type"],
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "user_id": t["user_id"],
+        }
+    )
+    for e in range(n_epochs):
+        d = os.path.join(tmp, f"arrival={e}")
+        os.makedirs(d)
+        pq.write_table(
+            tbl.filter(pa.array(epoch == e)), os.path.join(d, "part-0.parquet")
+        )
+    with open(os.path.join(tmp, "_fixture.json"), "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, out)
+    return out
