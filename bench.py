@@ -323,6 +323,13 @@ def main() -> None:
     _q_streaming_interval_join(SF_DIR)
     queries["streaming_interval_join"] = round(time.time() - t0, 3)
 
+    # streaming windowed HLL distinct (idempotent max-merge state)
+    from raystat.pipelines.queries import _q_streaming_distinct_users
+
+    t0 = time.time()
+    _q_streaming_distinct_users(SF_DIR)
+    queries["streaming_distinct_users"] = round(time.time() - t0, 3)
+
     # CEP funnel + big x big hash join over the TPC-H tables
     from raystat.pipelines.queries import _q_funnel_events, _q_revenue_by_nation
 
