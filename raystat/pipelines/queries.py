@@ -3824,6 +3824,61 @@ QUERIES.append(
 )
 
 
+def _q_streaming_top_users(sf_dir):
+    """STREAMING windowed heavy hitters (streaming/sketch.py,
+    MgStreamDriver): per-(event_type, 7-day window) top-5 user_ids by
+    event count through Misra-Gries-bounded actor state — at most
+    capacity-1 counters per open window regardless of the user domain,
+    the bounded-state property an exact histogram loses on unbounded
+    vocabularies.  At capacity 8192 no MG reduction fires at test
+    scales, so counts are EXACT and the per-row ``lossless`` gate
+    (residual MG deficit == 0) pins that in the oracle compare; in the
+    lossy regime the deficit column makes under-count error observable,
+    never silent (same honesty contract as dedup_overflow_metrics)."""
+    import shutil
+    import tempfile
+
+    from raystat.streaming.sketch import MgStreamDriver, events_stream_fixture
+
+    fix = events_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_mg_q_")
+    try:
+        drv = MgStreamDriver(
+            fix, out, key="event_type", item="user_id", ts_col="ts_us",
+            window_size_s=7 * DAY, allowed_lateness_s=200 * 3600,
+            capacity=8192, top=5, n_partitions=8,
+        )
+        drv.run()
+        t = drv.result_table().to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    t["lossless"] = t["mg_deficit"] == 0
+    t = t.rename(
+        columns={"key": "event_type", "window_start_s": "window_start",
+                 "item": "user_id"}
+    )
+    return t[["event_type", "window_start", "user_id", "n", "rank", "lossless"]]
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_top_users",
+        _q_streaming_top_users,
+        f"""WITH c AS (SELECT event_type,
+                      cast(floor(epoch(ts)/{7 * DAY})*{7 * DAY} as bigint) AS window_start,
+                      user_id, count(*) AS n
+               FROM events GROUP BY 1, 2, 3),
+             r AS (SELECT *, row_number() OVER (
+                       PARTITION BY event_type, window_start
+                       ORDER BY n DESC, user_id ASC) AS rank
+                   FROM c)
+           SELECT event_type, window_start, user_id, n, rank,
+                  true AS lossless
+           FROM r WHERE rank <= 5""",
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # --------------------------------------------------------------------------

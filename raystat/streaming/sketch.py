@@ -36,11 +36,11 @@ import pyarrow.parquet as pq
 import ray
 
 from raystat.dataops.asof import _key_u64
-from raystat.dataops.sketches import _M, _rho_and_idx, hll_estimate
+from raystat.dataops.sketches import _M, _rho_and_idx, hll_estimate, mg_merge
 from raystat.streaming.epochs import EpochDriverBase
 from raystat.streaming.sink import ExactlyOnceParquetSink
 
-__all__ = ["HllStreamDriver", "events_stream_fixture"]
+__all__ = ["HllStreamDriver", "MgStreamDriver", "events_stream_fixture"]
 
 _NEG = -(2**62)
 
@@ -393,3 +393,331 @@ def events_stream_fixture(
         json.dump(params, f)
     os.replace(tmp, out)
     return out
+
+
+# -- Misra-Gries heavy hitters -------------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+class MgStatePartition:
+    """Heavy-hitter state for one key-hash partition: per
+    (key, window_start_s) a Misra-Gries summary of item counts —
+    bounded to ``capacity - 1`` counters per group regardless of the
+    item domain (the property the exact histogram loses on unbounded
+    vocabularies).  Merge = sum counts by item, then the MG reduction
+    (subtract the capacity-th largest, drop non-positive) only when a
+    group overflows; the subtracted mass is tracked per group in
+    ``deficit`` so lossless operation (deficit == 0 -> counts EXACT)
+    is observable, never assumed."""
+
+    def __init__(self, pid: int, window_size_s: int, capacity: int):
+        self.pid = pid
+        self.size_s = int(window_size_s)
+        self.capacity = int(capacity)
+        self.pending: list[pa.Table] = []
+        self.state: pd.DataFrame | None = None  # key, window_start_s, item, n
+        self.deficit: dict[tuple, int] = {}
+        self.error: str | None = None
+        self.metrics = {"partial_rows_in": 0, "ingests": 0,
+                        "windows_closed": 0, "prunes": 0}
+
+    def ingest_count(self) -> int:
+        if self.error is not None:
+            raise RuntimeError(f"mg partition {self.pid} ingest failed: {self.error}")
+        return self.metrics["ingests"]
+
+    def ingest(self, table: pa.Table) -> int:
+        try:
+            n = table.num_rows
+            if n:
+                self.pending.append(table)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:
+            self.error = repr(e)
+            n = 0
+        self.metrics["ingests"] += 1
+        return n
+
+    def _consolidate(self) -> None:
+        # mg_merge imported at MODULE scope: a lazy in-method import
+        # would re-execute on workers and break the strict by-value
+        # pickling driver context (round-3 verdict bug class)
+        if not self.pending:
+            return
+        new = pa.concat_tables(self.pending).to_pandas()
+        self.pending = []
+        if self.state is not None and len(self.state):
+            new = pd.concat([self.state, new], ignore_index=True)
+        # one vectorized sum over (key, window, item)
+        summed = (
+            new.groupby(["key", "window_start_s", "item"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        # MG reduction only for over-capacity groups (zero in the
+        # lossless regime; per-group Python bounded by #overflow groups)
+        sizes = summed.groupby(["key", "window_start_s"], sort=False)["item"].transform("size")
+        over = sizes > self.capacity - 1
+        if over.any():
+            keep = summed[~over]
+            pruned = []
+            for (k, w), g in summed[over].groupby(["key", "window_start_s"], sort=False):
+                c = g.set_index("item")["n"]
+                before = int(c.sum())
+                c = mg_merge(c, self.capacity)
+                self.deficit[(k, int(w))] = (
+                    self.deficit.get((k, int(w)), 0) + before - int(c.sum())
+                )
+                self.metrics["prunes"] += 1
+                d = c.reset_index()
+                d["key"] = k
+                d["window_start_s"] = int(w)
+                pruned.append(d[["key", "window_start_s", "item", "n"]])
+            summed = pd.concat([keep] + pruned, ignore_index=True)
+        summed["window_start_s"] = summed["window_start_s"].astype(np.int64)
+        summed["item"] = summed["item"].astype(np.int64)
+        summed["n"] = summed["n"].astype(np.int64)
+        self.state = summed
+
+    def close_windows(self, watermark_s, top: int) -> pa.Table:
+        """Top-``top`` items (count desc, item asc) per closed window,
+        with that window's residual MG deficit on every row."""
+        self._consolidate()
+        empty = pa.table(
+            {"key": pa.array([], pa.string()),
+             "window_start_s": pa.array([], pa.int64()),
+             "item": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()),
+             "mg_deficit": pa.array([], pa.int64())}
+        )
+        if self.state is None or not len(self.state):
+            return empty
+        ws = self.state["window_start_s"].to_numpy()
+        close = ws + self.size_s <= watermark_s
+        if not close.any():
+            return empty
+        closed = self.state[close]
+        self.state = self.state[~close].reset_index(drop=True)
+        out = closed.sort_values(
+            ["key", "window_start_s", "n", "item"],
+            ascending=[True, True, False, True],
+            ignore_index=True,
+        )
+        grp = out.groupby(["key", "window_start_s"], sort=False)
+        out["rank"] = grp.cumcount() + 1
+        out = out[out["rank"] <= top].reset_index(drop=True)
+        pairs = [(k, int(w)) for k, w in zip(out["key"], out["window_start_s"])]
+        out["mg_deficit"] = np.asarray(
+            [self.deficit.get(p, 0) for p in pairs], dtype=np.int64
+        )
+        for p in set(pairs):
+            self.deficit.pop(p, None)
+        self.metrics["windows_closed"] += int(
+            len(closed.groupby(["key", "window_start_s"], sort=False))
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(empty.schema)
+
+    def get_metrics(self) -> dict:
+        return {"partition": self.pid, **self.metrics,
+                "deficit_total": int(sum(self.deficit.values()))}
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._consolidate()
+        path = os.path.join(ckpt_dir, f"mg-p{self.pid:04d}.parquet")
+        df = self.state if self.state is not None else pd.DataFrame(
+            {"key": pd.Series(dtype=object),
+             "window_start_s": pd.Series(dtype=np.int64),
+             "item": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64)}
+        )
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        dt = pa.table(
+            {
+                "key": pa.array([k for k, _ in self.deficit], pa.string()),
+                "window_start_s": pa.array(
+                    [w for _, w in self.deficit], pa.int64()
+                ),
+                "deficit": pa.array(list(self.deficit.values()), pa.int64()),
+            }
+        )
+        for p, tbl in ((path, t), (path.replace(".parquet", ".def.parquet"), dt)):
+            tmp = p + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, p)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        path = os.path.join(ckpt_dir, f"mg-p{self.pid:04d}.parquet")
+        self.pending = []
+        self.state = None
+        self.deficit = {}
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        if t.num_rows:
+            self.state = t.to_pandas()
+        dp = path.replace(".parquet", ".def.parquet")
+        if os.path.exists(dp):
+            d = pq.read_table(dp).to_pandas()
+            self.deficit = {
+                (k, int(w)): int(v)
+                for k, w, v in zip(d["key"], d["window_start_s"], d["deficit"])
+            }
+        return t.num_rows
+
+
+class MgRouter:
+    """Fused partial+route stage: per-batch exact (key, window, item)
+    counts via ONE factorize + bincount (the combiner — wire volume is
+    distinct tuples per batch, not rows), then key-hash routing and a
+    bookkeeping row."""
+
+    def __init__(self, actors: list, n_partitions: int, key: str, item: str,
+                 ts_col: str, window_size_s: int, watermark_s: int):
+        self.actors = actors
+        self.P = n_partitions
+        self.key = key
+        self.item = item
+        self.ts_col = ts_col
+        self.size_s = int(window_size_s)
+        self.wm = int(watermark_s)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_in = batch.num_rows
+        ts_s = (
+            batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            // 1_000_000
+        )
+        max_ts = int(ts_s.max()) * 1_000_000 if rows_in else -1
+        win = (ts_s // self.size_s) * self.size_s
+        live = win + self.size_s > self.wm
+        late = int(rows_in - live.sum())
+        calls = 0
+        if live.any():
+            keys = batch[self.key].to_numpy(zero_copy_only=False)[live]
+            items = batch[self.item].to_numpy(zero_copy_only=False)[live]
+            w = win[live]
+            codes, uniq = pd.factorize(
+                pd.MultiIndex.from_arrays([keys, w, items])
+            )
+            n = np.bincount(codes).astype(np.int64)
+            gk = np.asarray(uniq.get_level_values(0))
+            gw = uniq.get_level_values(1).to_numpy().astype(np.int64)
+            gi = uniq.get_level_values(2).to_numpy().astype(np.int64)
+            part = (_key_u64(gk) % np.uint64(self.P)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            tbl = pa.table(
+                {
+                    "key": pa.array(gk[order].tolist(), pa.string()),
+                    "window_start_s": pa.array(gw[order], pa.int64()),
+                    "item": pa.array(gi[order], pa.int64()),
+                    "n": pa.array(n[order], pa.int64()),
+                }
+            )
+            sp = part[order]
+            bounds = np.flatnonzero(np.diff(sp)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [sp.size]))
+            for s, e in zip(starts, ends):
+                self.actors[int(sp[s])].ingest.remote(tbl.slice(int(s), int(e - s)))
+                calls += 1
+        return pa.table(
+            {
+                "max_ts_us": pa.array([max_ts], pa.int64()),
+                "late_dropped": pa.array([late], pa.int64()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "ingest_calls": pa.array([calls], pa.int64()),
+            }
+        )
+
+
+class MgStreamDriver(EpochDriverBase):
+    """Epoch loop for streaming windowed heavy hitters: exact per-batch
+    count partials -> MG-bounded actor state -> top-k emission when the
+    watermark closes a window, exactly-once per epoch."""
+
+    def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
+                 item: str = "user_id", ts_col: str = "ts_us",
+                 window_size_s: int = 86400, allowed_lateness_s: int = 3600,
+                 capacity: int = 4096, top: int = 10,
+                 n_partitions: int = 8, batch_size: int | None = None):
+        super().__init__(input_dir, out_dir)
+        self.key = key
+        self.item = item
+        self.ts_col = ts_col
+        self.size_s = int(window_size_s)
+        self.lateness_s = int(allowed_lateness_s)
+        self.capacity = int(capacity)
+        self.top = int(top)
+        self.n_partitions = n_partitions
+        self.batch_size = batch_size
+        self.sink = ExactlyOnceParquetSink(out_dir, "topk")
+        self.watermark_s = _NEG
+
+    def _ensure_actors(self):
+        if self.actors is None:
+            self.actors = [
+                MgStatePartition.remote(p, self.size_s, self.capacity)
+                for p in range(self.n_partitions)
+            ]
+
+    def _driver_state(self) -> dict:
+        return {"watermark_s": self.watermark_s,
+                "committed": self.sink.committed_epochs()}
+
+    def _load_driver_state(self, state: dict) -> None:
+        self.watermark_s = int(state["watermark_s"])
+
+    def _run_epoch(self, epoch: int):
+        ds = self._epoch_dataset(epoch)
+        em = {"rows_in": 0, "late_dropped": 0, "max_ts_us": -1}
+        if ds is not None:
+            router = MgRouter(
+                self.actors, self.n_partitions, self.key, self.item,
+                self.ts_col, self.size_s, self.watermark_s,
+            )
+            kwargs = {"batch_format": "pyarrow", "max_retries": 0,
+                      "zero_copy_batch": True}
+            if self.batch_size:
+                kwargs["batch_size"] = self.batch_size
+            stats = ds.map_batches(router, **kwargs).to_pandas()
+            if len(stats):
+                em["rows_in"] = int(stats["rows_in"].sum())
+                em["late_dropped"] = int(stats["late_dropped"].sum())
+                em["max_ts_us"] = int(stats["max_ts_us"].max())
+                self._ingest_expected += int(stats["ingest_calls"].sum())
+            self._ingest_barrier()
+        if em["max_ts_us"] >= 0:
+            self.watermark_s = max(
+                self.watermark_s, em["max_ts_us"] // 1_000_000 - self.lateness_s
+            )
+        self._emit(epoch, self.watermark_s)
+        em["watermark_s"] = self.watermark_s
+        self.metrics[str(epoch)] = em
+
+    def _emit(self, epoch: int, watermark_s: int):
+        tables = [
+            t for t in ray.get(
+                [a.close_windows.remote(watermark_s, self.top) for a in self.actors]
+            )
+            if t.num_rows
+        ]
+        if tables:
+            out = pa.concat_tables(tables)
+            self.sink.commit(
+                epoch, out, sort_by=["key", "window_start_s", "rank"]
+            )
+        else:
+            self.sink.commit(epoch, pa.table({}))
+
+    def _finalize_stream(self, final_epoch: int):
+        self._emit(final_epoch, 2**62)
+        self.metrics["final"] = {
+            "epoch": final_epoch,
+            "state_metrics": ray.get([a.get_metrics.remote() for a in self.actors]),
+        }
+
+    def result_table(self) -> pa.Table:
+        return self.sink.read_all()
