@@ -180,19 +180,36 @@ class HllStatePartition:
         return t.num_rows
 
 
+def _covering_windows(ts_s: np.ndarray, size_s: int, hop_s: int, wm: int):
+    """Expand each row into its ``size/hop`` covering windows (tumbling
+    when hop == size) and drop (row, window) combos whose window has
+    already closed.  Returns (row_of, window_start, n_fully_late):
+    a row counts late only when EVERY covering window is closed —
+    matching the aggregate driver's hopping row_keep rule."""
+    m = size_s // hop_s
+    n = ts_s.size
+    base = (ts_s // hop_s) * hop_s
+    win = np.repeat(base, m) - np.tile(np.arange(m, dtype=np.int64) * hop_s, n)
+    live = win + size_s > wm
+    late = int(n - live.reshape(n, m).any(axis=1).sum()) if n else 0
+    row_of = np.repeat(np.arange(n), m)
+    return row_of[live], win[live], late
+
+
 class HllRouter:
     """Fused partial+route stage: per-batch per-(key, window) HLL
     register partials via ONE flat scatter-max across all groups, then
     key-hash routing (fire-and-forget) and a bookkeeping row."""
 
     def __init__(self, actors: list, n_partitions: int, key: str, value: str,
-                 ts_col: str, window_size_s: int, watermark_s: int):
+                 ts_col: str, window_size_s: int, hop_s: int, watermark_s: int):
         self.actors = actors
         self.P = n_partitions
         self.key = key
         self.value = value
         self.ts_col = ts_col
         self.size_s = int(window_size_s)
+        self.hop_s = int(hop_s)
         self.wm = int(watermark_s)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -202,15 +219,12 @@ class HllRouter:
             // 1_000_000
         )
         max_ts = int(ts_s.max()) * 1_000_000 if rows_in else -1
-        # late rule: a row is droppable once its window has closed
-        win = (ts_s // self.size_s) * self.size_s
-        live = win + self.size_s > self.wm
-        late = int(rows_in - live.sum())
+        row_of, win, late = _covering_windows(ts_s, self.size_s, self.hop_s, self.wm)
         calls = 0
-        if live.any():
-            keys = batch[self.key].to_numpy(zero_copy_only=False)[live]
-            vals = batch[self.value].to_numpy(zero_copy_only=False)[live]
-            w = win[live]
+        if row_of.size:
+            keys = batch[self.key].to_numpy(zero_copy_only=False)[row_of]
+            vals = batch[self.value].to_numpy(zero_copy_only=False)[row_of]
+            w = win
             codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([keys, w]))
             regs = np.zeros(len(uniq) * _M, dtype=np.uint8)
             idx, rho = _rho_and_idx(vals)
@@ -256,13 +270,17 @@ class HllStreamDriver(EpochDriverBase):
 
     def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
                  value: str = "user_id", ts_col: str = "ts_us",
-                 window_size_s: int = 86400, allowed_lateness_s: int = 3600,
+                 window_size_s: int = 86400, hop_s: int | None = None,
+                 allowed_lateness_s: int = 3600,
                  n_partitions: int = 8, batch_size: int | None = None):
         super().__init__(input_dir, out_dir)
         self.key = key
         self.value = value
         self.ts_col = ts_col
         self.size_s = int(window_size_s)
+        self.hop_s = int(hop_s) if hop_s is not None else self.size_s
+        if self.size_s % self.hop_s:
+            raise ValueError("window_size_s must be a multiple of hop_s")
         self.lateness_s = int(allowed_lateness_s)
         self.n_partitions = n_partitions
         self.batch_size = batch_size
@@ -289,7 +307,7 @@ class HllStreamDriver(EpochDriverBase):
         if ds is not None:
             router = HllRouter(
                 self.actors, self.n_partitions, self.key, self.value,
-                self.ts_col, self.size_s, self.watermark_s,
+                self.ts_col, self.size_s, self.hop_s, self.watermark_s,
             )
             kwargs = {"batch_format": "pyarrow", "max_retries": 0,
                       "zero_copy_batch": True}
@@ -575,13 +593,14 @@ class MgRouter:
     bookkeeping row."""
 
     def __init__(self, actors: list, n_partitions: int, key: str, item: str,
-                 ts_col: str, window_size_s: int, watermark_s: int):
+                 ts_col: str, window_size_s: int, hop_s: int, watermark_s: int):
         self.actors = actors
         self.P = n_partitions
         self.key = key
         self.item = item
         self.ts_col = ts_col
         self.size_s = int(window_size_s)
+        self.hop_s = int(hop_s)
         self.wm = int(watermark_s)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -591,14 +610,12 @@ class MgRouter:
             // 1_000_000
         )
         max_ts = int(ts_s.max()) * 1_000_000 if rows_in else -1
-        win = (ts_s // self.size_s) * self.size_s
-        live = win + self.size_s > self.wm
-        late = int(rows_in - live.sum())
+        row_of, win, late = _covering_windows(ts_s, self.size_s, self.hop_s, self.wm)
         calls = 0
-        if live.any():
-            keys = batch[self.key].to_numpy(zero_copy_only=False)[live]
-            items = batch[self.item].to_numpy(zero_copy_only=False)[live]
-            w = win[live]
+        if row_of.size:
+            keys = batch[self.key].to_numpy(zero_copy_only=False)[row_of]
+            items = batch[self.item].to_numpy(zero_copy_only=False)[row_of]
+            w = win
             codes, uniq = pd.factorize(
                 pd.MultiIndex.from_arrays([keys, w, items])
             )
@@ -640,7 +657,8 @@ class MgStreamDriver(EpochDriverBase):
 
     def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
                  item: str = "user_id", ts_col: str = "ts_us",
-                 window_size_s: int = 86400, allowed_lateness_s: int = 3600,
+                 window_size_s: int = 86400, hop_s: int | None = None,
+                 allowed_lateness_s: int = 3600,
                  capacity: int = 4096, top: int = 10,
                  n_partitions: int = 8, batch_size: int | None = None):
         super().__init__(input_dir, out_dir)
@@ -648,6 +666,9 @@ class MgStreamDriver(EpochDriverBase):
         self.item = item
         self.ts_col = ts_col
         self.size_s = int(window_size_s)
+        self.hop_s = int(hop_s) if hop_s is not None else self.size_s
+        if self.size_s % self.hop_s:
+            raise ValueError("window_size_s must be a multiple of hop_s")
         self.lateness_s = int(allowed_lateness_s)
         self.capacity = int(capacity)
         self.top = int(top)
@@ -676,7 +697,7 @@ class MgStreamDriver(EpochDriverBase):
         if ds is not None:
             router = MgRouter(
                 self.actors, self.n_partitions, self.key, self.item,
-                self.ts_col, self.size_s, self.watermark_s,
+                self.ts_col, self.size_s, self.hop_s, self.watermark_s,
             )
             kwargs = {"batch_format": "pyarrow", "max_retries": 0,
                       "zero_copy_batch": True}

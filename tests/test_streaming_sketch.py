@@ -261,3 +261,41 @@ def test_mg_crash_resume_exactly_once(ray_session):
     finally:
         shutil.rmtree(out1, ignore_errors=True)
         shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_streamed_hopping_equals_batch_registers(ray_session):
+    """HOPPING mode: every row feeds each of its size/hop covering
+    windows; streamed registers equal direct per-window computation."""
+    size_s, hop_s = 2 * 86400, 86400
+    fix = events_stream_fixture(SF, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="rs_hllh_")
+    try:
+        drv = HllStreamDriver(
+            fix, out, window_size_s=size_s, hop_s=hop_s,
+            allowed_lateness_s=LATENESS, n_partitions=4,
+        )
+        drv.run()
+        got = _norm(drv.result_table().to_pandas())
+
+        fs = sorted(glob.glob(os.path.join(fix, "arrival=*", "*.parquet")))
+        df = pa.concat_tables([pq.read_table(f) for f in fs]).to_pandas()
+        ts_s = df["ts_us"] // 1_000_000
+        rows = []
+        for i in range(size_s // hop_s):
+            d = df.copy()
+            d["w"] = (ts_s // hop_s) * hop_s - i * hop_s
+            rows.append(d)
+        full = pd.concat(rows, ignore_index=True)
+        exp_rows = []
+        for (k, w), g in full.groupby(["event_type", "w"]):
+            regs = np.zeros(_M, dtype=np.uint8)
+            idx, rho = _rho_and_idx(g["user_id"].to_numpy())
+            np.maximum.at(regs, idx, rho)
+            exp_rows.append(
+                {"key": k, "window_start_s": int(w),
+                 "approx_distinct": hll_estimate(regs)}
+            )
+        exp = _norm(pd.DataFrame(exp_rows))
+        pd.testing.assert_frame_equal(got, exp)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
