@@ -3923,6 +3923,67 @@ def _q_streaming_distinct_hopping(sf_dir):
     return m[["event_type", "window_start", "n_distinct", "within_10pct"]]
 
 
+def _q_streaming_funnel_users(sf_dir):
+    """STREAMING CEP (streaming/cep.py, CepStreamDriver): the
+    deadline-bounded view -> click -> purchase funnel evaluated
+    STATEFULLY over the arrival stream — per user the earliest
+    strict-order chain with every later stage within 2 days of the
+    stage-0 match.  A user's verdict emits exactly once, when the
+    watermark passes ``t0 + deadline`` (the deadline is what makes a
+    funnel verdict watermark-FINAL; see the module docstring), through
+    the engine's epoch/checkpoint/exactly-once conventions; buffered
+    state is bounded by the deadline horizon and emitted keys are
+    tombstoned.  Exact (no sketch): the oracle is the full per-user
+    SQL funnel."""
+    import shutil
+    import tempfile
+
+    from raystat.streaming.cep import CepStreamDriver
+    from raystat.streaming.sketch import events_stream_fixture
+
+    fix = events_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_cep_q_")
+    try:
+        drv = CepStreamDriver(
+            fix, out, key="user_id", type_col="event_type", ts_col="ts_us",
+            stages=["view", "click", "purchase"],
+            within_us=2 * DAY * 1_000_000,
+            allowed_lateness_s=200 * 3600, n_partitions=8,
+        )
+        drv.run()
+        t = drv.result_table().to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    t = t.rename(columns={"key": "user_id"})
+    return t[["user_id", "stages_reached", "t0_us"]]
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_funnel_users",
+        _q_streaming_funnel_users,
+        """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+             s1 AS (SELECT e.user_id, min(e.ts) AS t1, any_value(s0.t0) AS t0
+                    FROM events e JOIN s0 USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > s0.t0
+                      AND e.ts <= s0.t0 + INTERVAL 2 DAY GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                    JOIN s1 USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                      AND e.ts <= s1.t0 + INTERVAL 2 DAY GROUP BY 1)
+           SELECT s0.user_id,
+                  CAST(1 + CASE WHEN s1.user_id IS NULL THEN 0
+                                WHEN s2.user_id IS NULL THEN 1
+                                ELSE 2 END AS BIGINT) AS stages_reached,
+                  epoch_us(s0.t0) AS t0_us
+           FROM s0
+           LEFT JOIN s1 ON s0.user_id = s1.user_id
+           LEFT JOIN s2 ON s0.user_id = s2.user_id""",
+    )
+)
+
+
 QUERIES.append(
     QueryDef(
         "streaming_distinct_users_hopping",
@@ -4008,12 +4069,14 @@ _DRIVER_WINDOW = [
     "token_doc_freq",
     "correlation_lineitem",
     "rollup_token_stats",
-    # joins / CEP (5)
+    # joins / CEP (5; streaming_funnel_users is the strictly-stronger
+    # CEP row — the same earliest-chain semantics through the streaming
+    # engine with a per-key oracle; batch funnel_events follows after)
     "customer_stats_by_region",
     "revenue_by_nation",
     "asof_purchase_events",
     "streaming_interval_join",
-    "funnel_events",
+    "streaming_funnel_users",
 ]
 
 

@@ -3,16 +3,19 @@ hash-partitioned stateful actor state stores, a stateful join against a
 late-arriving metadata stream, exactly-once Parquet commits, and
 per-partition checkpointing (SURVEY.md §3.2, §4.2).
 
-Three state kinds share the epoch/watermark/checkpoint conventions:
+Five state kinds share the epoch/watermark/checkpoint conventions:
 sum-mergeable moment state (`StreamDriver`), stream-stream interval-join
-row buffers (`IntervalStreamDriver`), and idempotent max-merge HLL
-register state (`HllStreamDriver`).
+row buffers (`IntervalStreamDriver`), idempotent max-merge HLL register
+state (`HllStreamDriver`), bounded Misra-Gries heavy-hitter summaries
+(`MgStreamDriver`), and CEP funnel match state with tombstones
+(`CepStreamDriver`).
 """
 
+from raystat.streaming.cep import CepStreamDriver
 from raystat.streaming.driver import StreamConfig, StreamDriver
 from raystat.streaming.interval import IntervalJoinConfig, IntervalStreamDriver
 from raystat.streaming.sink import ExactlyOnceParquetSink
-from raystat.streaming.sketch import HllStreamDriver
+from raystat.streaming.sketch import HllStreamDriver, MgStreamDriver
 
 __all__ = [
     "StreamConfig",
@@ -21,4 +24,6 @@ __all__ = [
     "IntervalJoinConfig",
     "IntervalStreamDriver",
     "HllStreamDriver",
+    "MgStreamDriver",
+    "CepStreamDriver",
 ]

@@ -99,6 +99,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "CATALOG_CHECK.json"
     qs = entry.queries()
+    only = os.environ.get("RAYSTAT_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in names}
     sqls = entry.oracle_sql()
     con = duck(sf_dir)
     results = {}
