@@ -3984,6 +3984,90 @@ QUERIES.append(
 )
 
 
+def _q_streaming_value_quantiles(sf_dir):
+    """STREAMING windowed approximate quantiles (streaming/sketch.py,
+    KllStreamDriver — the sixth stateful stream kind): per-(event_type,
+    7-day tumbling window) KLL sketches of the continuous ``value``
+    column, O(k log n/k) state per open window regardless of row count.
+    The sketch is deterministic (canonical per-epoch merge order), so
+    the bracket booleans are stable: the streamed p50 estimate must
+    land in the exact [p45, p55] rank bracket (p90 in [p85, p95]),
+    where the exact per-window quantiles come from the distributed
+    histogram path and are themselves verified against quantile_disc
+    in the oracle."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from raystat.dataops.quantiles import grouped_exact_quantiles
+    from raystat.streaming.sketch import KllStreamDriver, events_stream_fixture
+
+    fix = events_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_kll_q_")
+    try:
+        drv = KllStreamDriver(
+            fix, out, key="event_type", value="value", ts_col="ts_us",
+            window_size_s=7 * DAY, allowed_lateness_s=200 * 3600,
+            n_partitions=8,
+        )
+        drv.run()
+        est = drv.result_table().to_pandas().rename(
+            columns={"key": "event_type", "window_start_s": "window_start",
+                     "p50": "e50", "p90": "e90"}
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        ws = (
+            ts.astype("datetime64[us]").astype(np.int64) // 1_000_000 // (7 * DAY)
+        ) * (7 * DAY)
+        kw = pd.Series(batch["event_type"].to_pandas()).astype(str) + "|" + pd.Series(ws).astype(str)
+        v = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"kw": pa.array(kw.to_numpy()), "v100": pa.array(v)})
+
+    exact = grouped_exact_quantiles(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+            cents, batch_format="pyarrow"
+        ),
+        key="kw", value="v100",
+        qs=(0.45, 0.5, 0.55, 0.85, 0.9, 0.95),
+        names=("q45", "q50", "q55", "q85", "q90", "q95"),
+    ).to_pandas()
+    parts = exact["kw"].str.rsplit("|", n=1, expand=True)
+    exact["event_type"] = parts[0]
+    exact["window_start"] = parts[1].astype(np.int64)
+    m = pd.merge(exact, est, on=["event_type", "window_start"])
+    for c in ("q45", "q50", "q55", "q85", "q90", "q95"):
+        m[c] = m[c] / 100.0
+    m["p50_ok"] = (m["e50"] >= m["q45"]) & (m["e50"] <= m["q55"])
+    m["p90_ok"] = (m["e90"] >= m["q85"]) & (m["e90"] <= m["q95"])
+    out_df = m[["event_type", "window_start", "n", "q50", "q90",
+                "p50_ok", "p90_ok"]].copy()
+    return out_df.rename(columns={"q50": "p50", "q90": "p90"})
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_value_quantiles",
+        _q_streaming_value_quantiles,
+        f"""SELECT event_type,
+                  cast(floor(epoch(ts)/{7 * DAY})*{7 * DAY} as bigint) AS window_start,
+                  count(*) AS n,
+                  quantile_disc(value, 0.5) AS p50,
+                  quantile_disc(value, 0.9) AS p90,
+                  true AS p50_ok, true AS p90_ok
+           FROM events GROUP BY 1, 2""",
+    )
+)
+
+
 QUERIES.append(
     QueryDef(
         "streaming_distinct_users_hopping",

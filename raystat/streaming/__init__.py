@@ -3,19 +3,24 @@ hash-partitioned stateful actor state stores, a stateful join against a
 late-arriving metadata stream, exactly-once Parquet commits, and
 per-partition checkpointing (SURVEY.md §3.2, §4.2).
 
-Five state kinds share the epoch/watermark/checkpoint conventions:
+Six state kinds share the epoch/watermark/checkpoint conventions:
 sum-mergeable moment state (`StreamDriver`), stream-stream interval-join
 row buffers (`IntervalStreamDriver`), idempotent max-merge HLL register
 state (`HllStreamDriver`), bounded Misra-Gries heavy-hitter summaries
-(`MgStreamDriver`), and CEP funnel match state with tombstones
-(`CepStreamDriver`).
+(`MgStreamDriver`), CEP funnel match state with tombstones
+(`CepStreamDriver`), and per-window KLL quantile sketches
+(`KllStreamDriver`).
 """
 
 from raystat.streaming.cep import CepStreamDriver
 from raystat.streaming.driver import StreamConfig, StreamDriver
 from raystat.streaming.interval import IntervalJoinConfig, IntervalStreamDriver
 from raystat.streaming.sink import ExactlyOnceParquetSink
-from raystat.streaming.sketch import HllStreamDriver, MgStreamDriver
+from raystat.streaming.sketch import (
+    HllStreamDriver,
+    KllStreamDriver,
+    MgStreamDriver,
+)
 
 __all__ = [
     "StreamConfig",
@@ -25,5 +30,6 @@ __all__ = [
     "IntervalStreamDriver",
     "HllStreamDriver",
     "MgStreamDriver",
+    "KllStreamDriver",
     "CepStreamDriver",
 ]

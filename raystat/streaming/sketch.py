@@ -36,11 +36,15 @@ import pyarrow.parquet as pq
 import ray
 
 from raystat.dataops.asof import _key_u64
+from raystat.dataops.kll import KLL
 from raystat.dataops.sketches import _M, _rho_and_idx, hll_estimate, mg_merge
 from raystat.streaming.epochs import EpochDriverBase
 from raystat.streaming.sink import ExactlyOnceParquetSink
 
-__all__ = ["HllStreamDriver", "MgStreamDriver", "events_stream_fixture"]
+__all__ = [
+    "HllStreamDriver", "MgStreamDriver", "KllStreamDriver",
+    "events_stream_fixture",
+]
 
 _NEG = -(2**62)
 
@@ -368,7 +372,7 @@ def events_stream_fixture(
     tag = sf_dir.strip("/").replace("/", "_")
     out = os.path.join(root, f"events_str_{tag}_e{n_epochs}")
     done = os.path.join(out, "_fixture.json")
-    params = {"sf_dir": sf_dir, "n_epochs": n_epochs, "v": 1}
+    params = {"sf_dir": sf_dir, "n_epochs": n_epochs, "v": 2}
     if os.path.exists(done):
         try:
             with open(done) as f:
@@ -384,7 +388,7 @@ def events_stream_fixture(
     os.makedirs(tmp)
     t = pq.read_table(
         os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type"],
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
     eid = t["event_id"].to_numpy(zero_copy_only=False)
     ts_us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
@@ -399,6 +403,7 @@ def events_stream_fixture(
             "event_type": t["event_type"],
             "ts_us": pa.array(ts_us, pa.int64()),
             "user_id": t["user_id"],
+            "value": t["value"].cast(pa.float64()),
         }
     )
     for e in range(n_epochs):
@@ -411,6 +416,299 @@ def events_stream_fixture(
         json.dump(params, f)
     os.replace(tmp, out)
     return out
+
+
+# -- KLL windowed quantiles ----------------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+class KllStatePartition:
+    """Quantile-sketch state for one key-hash partition: per
+    (key, window_start_s) one deterministic KLL sketch.  KLL merge is
+    mass-conserving but NOT order-commutative (the compaction schedule
+    depends on merge order), so consolidation sorts each epoch's
+    pending partial blobs CANONICALLY — by (key, window, blob bytes) —
+    before merging; with epochs processed in order this makes the
+    streamed sketch a deterministic function of the input stream, so
+    crash/resume replays reproduce identical estimates and the gated
+    booleans are stable for the oracle compare."""
+
+    def __init__(self, pid: int, window_size_s: int, k: int):
+        self.pid = pid
+        self.size_s = int(window_size_s)
+        self.k = int(k)
+        self.pending: list[pa.Table] = []
+        self.state: dict[tuple, KLL] = {}
+        self.error: str | None = None
+        self.metrics = {"partial_rows_in": 0, "ingests": 0, "windows_closed": 0}
+
+    def ingest_count(self) -> int:
+        if self.error is not None:
+            raise RuntimeError(f"kll partition {self.pid} ingest failed: {self.error}")
+        return self.metrics["ingests"]
+
+    def ingest(self, table: pa.Table) -> int:
+        try:
+            n = table.num_rows
+            if n:
+                self.pending.append(table)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:
+            self.error = repr(e)
+            n = 0
+        self.metrics["ingests"] += 1
+        return n
+
+    def _consolidate(self) -> None:
+        if not self.pending:
+            return
+        new = pa.concat_tables(self.pending)
+        self.pending = []
+        rows = sorted(
+            zip(
+                new["key"].to_pylist(),
+                new["window_start_s"].to_pylist(),
+                new["sk"].to_pylist(),
+            )
+        )  # canonical merge order (see class docstring)
+        for k, w, blob in rows:
+            g = (k, int(w))
+            if g in self.state:
+                self.state[g].merge(KLL.from_bytes(blob))
+            else:
+                self.state[g] = KLL.from_bytes(blob)
+
+    def close_windows(self, watermark_s, qs: tuple, names: tuple) -> pa.Table:
+        self._consolidate()
+        cols: dict[str, list] = {"key": [], "window_start_s": [], "n": []}
+        for nm in names:
+            cols[nm] = []
+        for (k, w) in sorted(self.state):
+            if w + self.size_s <= watermark_s:
+                sk = self.state.pop((k, w))
+                cols["key"].append(k)
+                cols["window_start_s"].append(w)
+                cols["n"].append(sk.n)
+                for q, nm in zip(qs, names):
+                    cols[nm].append(sk.quantile(q))
+                self.metrics["windows_closed"] += 1
+        return pa.table(
+            {
+                "key": pa.array(cols["key"], pa.string()),
+                "window_start_s": pa.array(cols["window_start_s"], pa.int64()),
+                "n": pa.array(cols["n"], pa.int64()),
+                **{nm: pa.array(cols[nm], pa.float64()) for nm in names},
+            }
+        )
+
+    def get_metrics(self) -> dict:
+        return {"partition": self.pid, **self.metrics,
+                "open_windows": len(self.state)}
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._consolidate()
+        path = os.path.join(ckpt_dir, f"kll-p{self.pid:04d}.parquet")
+        keys = sorted(self.state)
+        t = pa.table(
+            {
+                "key": pa.array([k for k, _ in keys], pa.string()),
+                "window_start_s": pa.array([w for _, w in keys], pa.int64()),
+                "sk": pa.array(
+                    [self.state[g].to_bytes() for g in keys], pa.binary()
+                ),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        path = os.path.join(ckpt_dir, f"kll-p{self.pid:04d}.parquet")
+        self.pending = []
+        self.state = {}
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        for k, w, blob in zip(
+            t["key"].to_pylist(),
+            t["window_start_s"].to_pylist(),
+            t["sk"].to_pylist(),
+        ):
+            self.state[(k, int(w))] = KLL.from_bytes(blob)
+        return t.num_rows
+
+
+class KllRouter:
+    """Fused partial+route stage: per-batch per-(key, window) KLL
+    partial sketches (one blob per group — O(k log(rows/k)) bytes on
+    the wire regardless of batch size), then key-hash routing."""
+
+    def __init__(self, actors: list, n_partitions: int, key: str, value: str,
+                 ts_col: str, window_size_s: int, hop_s: int, watermark_s: int,
+                 k: int):
+        self.actors = actors
+        self.P = n_partitions
+        self.key = key
+        self.value = value
+        self.ts_col = ts_col
+        self.size_s = int(window_size_s)
+        self.hop_s = int(hop_s)
+        self.wm = int(watermark_s)
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_in = batch.num_rows
+        ts_s = (
+            batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            // 1_000_000
+        )
+        max_ts = int(ts_s.max()) * 1_000_000 if rows_in else -1
+        row_of, win, late = _covering_windows(ts_s, self.size_s, self.hop_s, self.wm)
+        calls = 0
+        if row_of.size:
+            keys = batch[self.key].to_numpy(zero_copy_only=False)[row_of]
+            vals = (
+                batch[self.value]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)[row_of]
+            )
+            codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([keys, win]))
+            order = np.argsort(codes, kind="stable")
+            starts_g = np.flatnonzero(np.diff(codes[order], prepend=-1))
+            ends_g = np.append(starts_g[1:], order.size)
+            sv = vals[order]
+            blobs = [
+                KLL(self.k).add(sv[s:e]).to_bytes()
+                for s, e in zip(starts_g, ends_g)
+            ]
+            gk = np.asarray(uniq.get_level_values(0))
+            gw = uniq.get_level_values(1).to_numpy().astype(np.int64)
+            part = (_key_u64(gk) % np.uint64(self.P)).astype(np.int64)
+            po = np.argsort(part, kind="stable")
+            tbl = pa.table(
+                {
+                    "key": pa.array(gk[po].tolist(), pa.string()),
+                    "window_start_s": pa.array(gw[po], pa.int64()),
+                    "sk": pa.array([blobs[i] for i in po], pa.binary()),
+                }
+            )
+            sp = part[po]
+            bounds = np.flatnonzero(np.diff(sp)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [sp.size]))
+            for s, e in zip(starts, ends):
+                self.actors[int(sp[s])].ingest.remote(tbl.slice(int(s), int(e - s)))
+                calls += 1
+        return pa.table(
+            {
+                "max_ts_us": pa.array([max_ts], pa.int64()),
+                "late_dropped": pa.array([late], pa.int64()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "ingest_calls": pa.array([calls], pa.int64()),
+            }
+        )
+
+
+class KllStreamDriver(EpochDriverBase):
+    """Epoch loop for streaming windowed approximate quantiles of a
+    CONTINUOUS column — the sixth stateful stream kind.  Per-(key,
+    window) KLL sketches hold O(k log(n/k)) state regardless of row
+    count (the property an exact windowed histogram loses on unbounded
+    value domains); windows close when the watermark passes their end
+    and their quantile estimates commit exactly-once."""
+
+    def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
+                 value: str = "value", ts_col: str = "ts_us",
+                 window_size_s: int = 86400, hop_s: int | None = None,
+                 allowed_lateness_s: int = 3600,
+                 qs: tuple = (0.5, 0.9), names: tuple = ("p50", "p90"),
+                 k: int = 200,
+                 n_partitions: int = 8, batch_size: int | None = None):
+        super().__init__(input_dir, out_dir)
+        self.key = key
+        self.value = value
+        self.ts_col = ts_col
+        self.size_s = int(window_size_s)
+        self.hop_s = int(hop_s) if hop_s is not None else self.size_s
+        if self.size_s % self.hop_s:
+            raise ValueError("window_size_s must be a multiple of hop_s")
+        self.lateness_s = int(allowed_lateness_s)
+        self.qs = tuple(qs)
+        self.names = tuple(names)
+        self.k = int(k)
+        self.n_partitions = n_partitions
+        self.batch_size = batch_size
+        self.sink = ExactlyOnceParquetSink(out_dir, "quantiles")
+        self.watermark_s = _NEG
+
+    def _ensure_actors(self):
+        if self.actors is None:
+            self.actors = [
+                KllStatePartition.remote(p, self.size_s, self.k)
+                for p in range(self.n_partitions)
+            ]
+
+    def _driver_state(self) -> dict:
+        return {"watermark_s": self.watermark_s,
+                "committed": self.sink.committed_epochs()}
+
+    def _load_driver_state(self, state: dict) -> None:
+        self.watermark_s = int(state["watermark_s"])
+
+    def _run_epoch(self, epoch: int):
+        ds = self._epoch_dataset(epoch)
+        em = {"rows_in": 0, "late_dropped": 0, "max_ts_us": -1}
+        if ds is not None:
+            router = KllRouter(
+                self.actors, self.n_partitions, self.key, self.value,
+                self.ts_col, self.size_s, self.hop_s, self.watermark_s, self.k,
+            )
+            kwargs = {"batch_format": "pyarrow", "max_retries": 0,
+                      "zero_copy_batch": True}
+            if self.batch_size:
+                kwargs["batch_size"] = self.batch_size
+            stats = ds.map_batches(router, **kwargs).to_pandas()
+            if len(stats):
+                em["rows_in"] = int(stats["rows_in"].sum())
+                em["late_dropped"] = int(stats["late_dropped"].sum())
+                em["max_ts_us"] = int(stats["max_ts_us"].max())
+                self._ingest_expected += int(stats["ingest_calls"].sum())
+            self._ingest_barrier()
+        if em["max_ts_us"] >= 0:
+            self.watermark_s = max(
+                self.watermark_s, em["max_ts_us"] // 1_000_000 - self.lateness_s
+            )
+        self._emit(epoch, self.watermark_s)
+        em["watermark_s"] = self.watermark_s
+        self.metrics[str(epoch)] = em
+
+    def _emit(self, epoch: int, watermark_s: int):
+        tables = [
+            t for t in ray.get(
+                [
+                    a.close_windows.remote(watermark_s, self.qs, self.names)
+                    for a in self.actors
+                ]
+            )
+            if t.num_rows
+        ]
+        if tables:
+            out = pa.concat_tables(tables)
+            self.sink.commit(epoch, out, sort_by=["key", "window_start_s"])
+        else:
+            self.sink.commit(epoch, pa.table({}))
+
+    def _finalize_stream(self, final_epoch: int):
+        self._emit(final_epoch, 2**62)
+        self.metrics["final"] = {
+            "epoch": final_epoch,
+            "state_metrics": ray.get([a.get_metrics.remote() for a in self.actors]),
+        }
+
+    def result_table(self) -> pa.Table:
+        return self.sink.read_all()
 
 
 # -- Misra-Gries heavy hitters -------------------------------------------------
