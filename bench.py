@@ -330,6 +330,20 @@ def main() -> None:
     _q_streaming_distinct_users(SF_DIR)
     queries["streaming_distinct_users"] = round(time.time() - t0, 3)
 
+    # streaming CEP funnel (watermark-final verdicts) + streaming
+    # windowed KLL quantiles (deterministic sketch state)
+    from raystat.pipelines.queries import (
+        _q_streaming_funnel_users,
+        _q_streaming_value_quantiles,
+    )
+
+    t0 = time.time()
+    _q_streaming_funnel_users(SF_DIR)
+    queries["streaming_funnel_users"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _q_streaming_value_quantiles(SF_DIR)
+    queries["streaming_value_quantiles"] = round(time.time() - t0, 3)
+
     # CEP funnel + big x big hash join over the TPC-H tables
     from raystat.pipelines.queries import _q_funnel_events, _q_revenue_by_nation
 

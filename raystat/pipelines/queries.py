@@ -1780,6 +1780,77 @@ QUERIES.append(
 )
 
 
+def _q_lm_score_documents(sf_dir):
+    """Unigram-LM document scoring (the CCNet-style LM quality filter):
+    cross-entropy of each document under an add-one-smoothed unigram
+    model trained on the corpus itself.  Two passes, both scale-shaped:
+    pass 1 is the bounded vocab histogram (bincount partials, exchange
+    volume <= |VOCAB| x #batches, row-count independent) reduced to a
+    |VOCAB| float64 logprob array on the driver (~400 KiB — constant in
+    corpus size); pass 2 broadcasts it ONCE via ray.put and streams the
+    corpus through a zero-shuffle map_batches scoring stage (per-doc
+    sums via one cumsum over the flattened token logprobs — no per-row
+    Python)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from raystat.pipelines.tokens import VOCAB, tokenize_documents
+
+    hist = _q_token_vocab(sf_dir).to_pandas()
+    counts = np.zeros(VOCAB, dtype=np.float64)
+    counts[hist["token"].to_numpy()] = hist["n"].to_numpy().astype(np.float64)
+    n_total = counts.sum()
+    logp_ref = ray.put(np.log((counts + 1.0) / (n_total + VOCAB)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = ray.get(logp_ref)
+        toks = batch["tokens"].combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = off - off[0]
+        s = np.concatenate(([0.0], np.cumsum(lp[flat])))
+        doc_sum = s[rel[1:]] - s[rel[:-1]]
+        n_tok = rel[1:] - rel[:-1]
+        xent = np.where(n_tok > 0, -doc_sum / np.maximum(n_tok, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": pa.array(n_tok, pa.int64()),
+                "xent": pa.array(xent, pa.float64()),
+            }
+        )
+
+    return tokenize_documents(sf_dir).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "lm_score_documents",
+        _q_lm_score_documents,
+        f"""WITH f AS (SELECT 'doc-' || lpad(cast(doc_id AS varchar), 12, '0') AS doc_id,
+                       unnest(list_transform({SPLIT_WS},
+                        w -> {token_id_sql('w')})) AS token
+                FROM documents),
+             c AS (SELECT token, count(*) AS n FROM f GROUP BY token),
+             t AS (SELECT count(*) AS n_total FROM f),
+             s AS (SELECT f.doc_id, count(*) AS n_tok,
+                          -avg(ln((c.n + 1.0) / (t.n_total + 50257.0))) AS xent
+                   FROM f JOIN c USING (token) CROSS JOIN t
+                   GROUP BY f.doc_id)
+           SELECT d.doc_id,
+                  coalesce(s.n_tok, 0) AS n_tok,
+                  coalesce(s.xent, 0.0) AS xent
+           FROM (SELECT 'doc-' || lpad(cast(doc_id AS varchar), 12, '0') AS doc_id
+                 FROM documents) d
+           LEFT JOIN s USING (doc_id)""",
+    )
+)
+
+
 def _q_top_tokens(sf_dir):
     """Per-source top-10 tokens (exact heavy hitters).  Per-batch
     composite-key bincount partials collapse each batch to at most
