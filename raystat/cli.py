@@ -47,7 +47,63 @@ def build_parser() -> argparse.ArgumentParser:
         help="input part format (json = newline-delimited, the reference's value_format)",
     )
     p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone only)")
+    p.add_argument(
+        "--driver", choices=["agg", "hll", "mg", "kll", "cep"], default="agg",
+        help="stream kind: agg = windowed moment aggregates (default); "
+        "hll = windowed approximate distinct; mg = windowed heavy hitters; "
+        "kll = windowed quantile sketch; cep = deadline-bounded funnels",
+    )
+    p.add_argument("--key", default="event_type", help="group/partition key (sketch/cep drivers)")
+    p.add_argument("--value", default="user_id",
+                   help="value/item column (sketch drivers) / event-type column (cep)")
+    p.add_argument("--ts-col", default="ts_us", help="event-time column, int64 us (sketch/cep)")
+    p.add_argument("--stages", default="view,click,purchase",
+                   help="cep: comma-separated ordered stage labels")
+    p.add_argument("--within", type=int, default=172800,
+                   help="cep: funnel deadline in SECONDS from the stage-0 match")
     return p
+
+
+def _specialized_driver(args):
+    """Construct one of the sketch/CEP epoch drivers from CLI args."""
+    if args.driver == "hll":
+        from raystat.streaming.sketch import HllStreamDriver
+
+        return HllStreamDriver(
+            args.input, args.out, key=args.key, value=args.value,
+            ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
+            allowed_lateness_s=args.lateness, n_partitions=args.partitions,
+            batch_size=args.batch_size,
+        )
+    if args.driver == "mg":
+        from raystat.streaming.sketch import MgStreamDriver
+
+        return MgStreamDriver(
+            args.input, args.out, key=args.key, item=args.value,
+            ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
+            allowed_lateness_s=args.lateness, n_partitions=args.partitions,
+            batch_size=args.batch_size,
+        )
+    if args.driver == "kll":
+        from raystat.streaming.sketch import KllStreamDriver
+
+        return KllStreamDriver(
+            args.input, args.out, key=args.key, value=args.value,
+            ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
+            allowed_lateness_s=args.lateness, n_partitions=args.partitions,
+            batch_size=args.batch_size,
+        )
+    if args.driver == "cep":
+        from raystat.streaming.cep import CepStreamDriver
+
+        return CepStreamDriver(
+            args.input, args.out, key=args.key, type_col=args.value,
+            ts_col=args.ts_col, stages=args.stages.split(","),
+            within_us=args.within * 1_000_000,
+            allowed_lateness_s=args.lateness, n_partitions=args.partitions,
+            batch_size=args.batch_size,
+        )
+    raise ValueError(args.driver)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -65,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    if args.driver != "agg":
+        drv = _specialized_driver(args)
+        metrics = drv.run(resume=args.resume)
+        json.dump(metrics, sys.stdout)
+        print()
+        ray.shutdown()
+        return 0
+
     from raystat.streaming import StreamConfig, StreamDriver
 
     cfg = StreamConfig(

@@ -212,6 +212,28 @@ def test_dead_state_prunes(ray_session):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_cli_cep_driver(ray_session, tmp_path, capsys):
+    """python -m raystat --driver cep: the ray-job-submit surface runs
+    the CEP stream and prints the metrics JSON."""
+    import glob
+    import json
+
+    from raystat.cli import main
+
+    fix = events_stream_fixture(SF, n_epochs=4)
+    out = str(tmp_path / "cli_cep")
+    rc = main(
+        ["--driver", "cep", "--input", fix, "--out", out,
+         "--key", "user_id", "--value", "event_type",
+         "--within", str(2 * DAY), "--lateness", str(LATENESS),
+         "--partitions", "4"]
+    )
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["committed"], "no epochs committed"
+    assert glob.glob(os.path.join(out, "funnel", "epoch=*", "*.parquet"))
+
+
 @pytest.mark.parametrize("stop_after", [0, 1, 2])
 def test_crash_resume_exactly_once(ray_session, stop_after):
     fix = events_stream_fixture(SF, n_epochs=4)
