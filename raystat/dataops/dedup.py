@@ -48,6 +48,7 @@ __all__ = [
     "near_dedup_lp",
     "minhash_signatures_batch",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "simhash_batch",
     "simhash_pairs",
     "shingle_set",
@@ -441,6 +442,134 @@ def exact_dup_pairs(
         .astype({"doc_a": np.int64, "doc_b": np.int64})
         .sort_values(["doc_a", "doc_b"], ignore_index=True)
     )
+
+
+# -- exact n-gram Jaccard (prefix-filtered inverted index) ------------------
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    bucket_cap: int = 512,
+    metrics: dict | None = None,
+    n_parts: int = 64,
+) -> pd.DataFrame:
+    """EXACT n-gram (word 3-shingle) Jaccard near-dup pairs — the
+    deterministic member of the near-dup family (MinHash/SimHash are
+    the probabilistic ones; same shingle model, text.WS_RE + k=3).
+
+    Candidate generation is the prefix-filter principle (SSJoin /
+    All-Pairs / PPJoin): under a global shingle ordering (the md5-64
+    hash value), J(A,B) >= t implies the (|A| - ceil(t*|A|) + 1)-
+    prefix of A and the corresponding prefix of B share a shingle, so
+    ONLY those prefixes enter the inverted (shingle, doc_id) index —
+    ~(1-t) of the index rows of a full posting list, with candidate
+    recall EXACTLY 1 (the property LSH can't give; the only loss is
+    capped degenerate hot buckets, counted in ``metrics``).
+
+    Scale shape mirrors minhash_lsh_pairs: (hash, id)-only shuffle for
+    candidates (raw text never leaves its block), then the shared
+    co-partitioned distributed verify with a vectorized size-filter
+    prune (J >= t forces t*|B| <= |A| <= |B|/t) before the per-pair
+    exact intersections.  md5-prefix-64 shingle hashes, so the DuckDB
+    twin (NGRAM_JACCARD_SQL) computes the IDENTICAL jaccard value."""
+    tmin = float(threshold)
+
+    def prefix_index(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        if not texts:
+            return pa.table(
+                {"shingle": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int64())}
+            )
+        flat, offsets = _doc_shingle_md5_arrays(texts)
+        h = flat.astype(np.int64)  # int64 view = the global order everywhere
+        n = np.diff(np.append(offsets, len(h)))
+        # doc-major, hash-ascending layout for per-doc prefix slices
+        doc_of = np.repeat(np.arange(len(n)), n)
+        order = np.lexsort((h, doc_of))
+        hs = h[order]
+        # prefix length |A| - ceil(t*|A|) + 1 (empty docs pad n=1 -> 1:
+        # the 0-sentinel keeps empty-empty pairs, J=1, reachable)
+        pl = n - np.ceil(tmin * n).astype(np.int64) + 1
+        total = int(pl.sum())
+        base = np.repeat(offsets, pl)
+        within = np.arange(total) - np.repeat(np.cumsum(pl) - pl, pl)
+        sh = hs[base + within]
+        did = np.repeat(ids, pl)
+        return pa.table(
+            {"shingle": pa.array(sh), "doc_id": pa.array(did),
+             "part": pa.array(bucket_partition(sh, n_parts=n_parts))}
+        )
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        order, starts = sort_segments(ids, g["shingle"].to_numpy())
+        return segmented_capped_pairs(ids[order], starts, bucket_cap)
+
+    cand = (
+        ds.map_batches(prefix_index, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = pop_overflow(cand, metrics).drop_duplicates(ignore_index=True)
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64),
+         "jaccard": pd.Series(dtype=np.float64)}
+    )
+    if not len(cand):
+        return empty
+
+    def payload_of(batch: pa.Table, rows: np.ndarray) -> list:
+        # payload = sorted unique md5-64 shingle hashes (TRUE set:
+        # empty docs get an empty array, so empty-empty verifies to 1)
+        texts = batch.take(pa.array(rows))[text_col].to_pylist()
+        return [
+            np.sort(
+                np.fromiter(
+                    (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                     for s in st),
+                    dtype=np.uint64, count=len(st),
+                ).astype(np.int64)
+            )
+            for st in (_shingle_strings(t) for t in texts)
+        ]
+
+    def verify(prs: pd.DataFrame, lookup: dict) -> pd.DataFrame:
+        pa_ids = prs["doc_a"].to_numpy().astype(np.int64)
+        pb_ids = prs["doc_b"].to_numpy().astype(np.int64)
+        na = np.array([lookup[int(a_)].size for a_ in pa_ids], dtype=np.int64)
+        nb = np.array([lookup[int(b_)].size for b_ in pb_ids], dtype=np.int64)
+        # size filter: J >= t needs |A∩B| <= min to beat t * |A∪B| >= t * max
+        ok = np.minimum(na, nb) >= tmin * np.maximum(na, nb)
+        out_a, out_b, out_j = [], [], []
+        for i in np.nonzero(ok)[0]:
+            sa = lookup[int(pa_ids[i])]
+            sb = lookup[int(pb_ids[i])]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 1.0
+            if j >= tmin:
+                out_a.append(int(pa_ids[i]))
+                out_b.append(int(pb_ids[i]))
+                out_j.append(j)
+        return pd.DataFrame(
+            {"doc_a": np.array(out_a, dtype=np.int64),
+             "doc_b": np.array(out_b, dtype=np.int64),
+             "jaccard": np.array(out_j, dtype=np.float64)}
+        )
+
+    out = verify_pairs_distributed(
+        ds, cand, id_col, payload_of, verify,
+        payload_type=pa.list_(pa.int64()),
+        out_schema={"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64},
+    )
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
 # -- simhash ---------------------------------------------------------------

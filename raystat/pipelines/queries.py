@@ -1851,6 +1851,48 @@ QUERIES.append(
 )
 
 
+def _q_ngram_jaccard_pairs(sf_dir):
+    """EXACT word-3-shingle Jaccard pairs (threshold 0.8) via the
+    prefix-filtered inverted shingle index (dedup.ngram_jaccard_pairs)
+    — the deterministic near-dup path: candidate recall is exactly 1
+    by the prefix-filter theorem (vs MinHash's probabilistic bands),
+    and the emitted jaccard VALUE is exact (md5-64 shingle hashes, so
+    the SQL twin computes the identical intersections)."""
+    from raystat.dataops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.8)
+
+
+QUERIES.append(
+    QueryDef(
+        "ngram_jaccard_pairs",
+        _q_ngram_jaccard_pairs,
+        # same shingle model as MINHASH_PAIRS_SQL, plus the value
+        f"""WITH w AS (
+             SELECT doc_id, {SPLIT_WS} AS ws
+           FROM documents
+           ), sh AS (
+             SELECT doc_id,
+               CASE WHEN len(ws) = 0 THEN []
+                    WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(ws)-1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               END AS s
+             FROM w
+           )
+           SELECT doc_a, doc_b, jaccard FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CASE WHEN len(a.s)=0 AND len(b.s)=0 THEN 1.0
+                         WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+                         ELSE len(list_intersect(a.s, b.s))::double
+                              / len(list_distinct(a.s || b.s))
+                    END AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           ) WHERE jaccard >= 0.8""",
+    )
+)
+
+
 def _q_top_tokens(sf_dir):
     """Per-source top-10 tokens (exact heavy hitters).  Per-batch
     composite-key bincount partials collapse each batch to at most

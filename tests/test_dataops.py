@@ -164,6 +164,53 @@ def test_ngram_jaccard_symmetry():
     assert jaccard(a, c) == jaccard(c, a)
 
 
+def test_ngram_jaccard_pairs_equal_bruteforce(docs_ds):
+    """The prefix-filtered inverted-index pair set must EQUAL the
+    brute-force all-pairs shingle Jaccard >= t set — ids AND values —
+    i.e. the prefix filter loses nothing (the theorem) and the index
+    plumbing neither drops nor duplicates a pair."""
+    from raystat.dataops.dedup import (
+        _shingle_strings,
+        jaccard,
+        ngram_jaccard_pairs,
+    )
+
+    t = 0.7
+    m = {}
+    got = ngram_jaccard_pairs(docs_ds, threshold=t, metrics=m)
+    assert m["overflow_buckets"] == 0
+    sets = {
+        i: _shingle_strings(txt)
+        for i, txt in enumerate(_docs_table()["text"].to_pylist())
+    }
+    want = {
+        (a, b): jaccard(sets[a], sets[b])
+        for a in sets
+        for b in sets
+        if a < b and jaccard(sets[a], sets[b]) >= t
+    }
+    got_map = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+    }
+    assert set(got_map) == set(want)
+    for k, v in want.items():
+        assert abs(got_map[k] - v) < 1e-12
+
+
+def test_ngram_jaccard_contains_minhash_pairs(docs_ds):
+    """Exact recall=1: every MinHash-LSH verified pair (a subset of
+    the true >= t pair set) must appear in the exact n-gram Jaccard
+    output at the same threshold."""
+    from raystat.dataops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(docs_ds, threshold=0.8)
+    mh = minhash_lsh_pairs(docs_ds, threshold=0.8)
+    exact_keys = {(int(a), int(b)) for a, b in zip(exact["doc_a"], exact["doc_b"])}
+    for a, b in zip(mh["doc_a"], mh["doc_b"]):
+        assert (int(a), int(b)) in exact_keys
+
+
 def _emb_ds(ray_session, n=60, dim=16, seed=5):
     import ray.data as rd
 
