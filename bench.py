@@ -280,6 +280,11 @@ def main() -> None:
     t0 = time.time()
     simhash_pairs(docs, max_hamming=3)
     queries["simhash_dedup_pairs"] = round(time.time() - t0, 3)
+    from raystat.dataops.dedup import ngram_jaccard_pairs
+
+    t0 = time.time()
+    ngram_jaccard_pairs(docs, threshold=0.8)
+    queries["ngram_jaccard_pairs"] = round(time.time() - t0, 3)
 
     import numpy as np
     import pyarrow.parquet as _pq

@@ -1893,6 +1893,141 @@ QUERIES.append(
 )
 
 
+# BM25 retrieval: fixed multi-term query, Okapi parameters
+_BM25_TERMS = ("stream", "window", "merge", "query")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+def _q_bm25_topk(sf_dir):
+    """BM25 top-k retrieval over the corpus for a fixed term query —
+    the ranking primitive of retrieval-based decontamination / data
+    curation.  Two streaming passes, zero corpus shuffle:
+
+    1. stats pass: per-batch ONE partial row (n_docs, total tokens,
+       per-term doc frequency) — sums to the global IDF/avgdl on the
+       driver (O(#terms) state).
+    2. score pass: broadcast (term ids, idf, avgdl) via ``ray.put``;
+       per-batch vectorized tf via one bincount over (doc, term) keys,
+       Okapi BM25 score, PARTIAL top-k per batch — the driver merges
+       O(k x #batches) rows (the ann_topk shape, never a corpus sort).
+
+    At 100 TB both passes stream with backpressure; the only reread is
+    the pruned 3-column parquet scan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from raystat.pipelines.tokens import tokenize_documents, word_token_id
+
+    qids = np.sort(np.array([word_token_id(w) for w in _BM25_TERMS], dtype=np.int64))
+    assert len(set(qids.tolist())) == len(qids)  # searchsorted needs sorted+unique
+    nt = len(qids)
+    k1, b = _BM25_K1, _BM25_B
+
+    def _doc_term_tf(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(n_docs x n_terms tf matrix, per-doc length) — one bincount
+        over fused (doc, term) keys; docs are one row each."""
+        la = batch["tokens"].combine_chunks()
+        off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = int(off[0])
+        flat = np.asarray(la.values.slice(lo, int(off[-1]) - lo)).astype(np.int64)
+        n = batch.num_rows
+        dl = (off[1:] - off[:-1]).astype(np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), dl)
+        pos = np.searchsorted(qids, flat)
+        pos[pos == nt] = 0
+        hit = qids[pos] == flat
+        tf = np.bincount(
+            doc_of[hit] * nt + pos[hit], minlength=n * nt
+        ).reshape(n, nt)
+        return tf, dl
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tf, dl = _doc_term_tf(batch)
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+                **{
+                    f"df_{j}": pa.array([int((tf[:, j] > 0).sum())], pa.int64())
+                    for j in range(nt)
+                },
+            }
+        )
+
+    toks = tokenize_documents(sf_dir)
+    st = toks.map_batches(stats_partial, batch_format="pyarrow").to_pandas().sum()
+    n_docs = int(st["n_docs"])
+    avgdl = float(st["sum_dl"]) / n_docs if n_docs else 0.0
+    df = np.array([int(st[f"df_{j}"]) for j in range(nt)], dtype=np.float64)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    bcast = ray.put((qids, idf, avgdl))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        q, idf_, avgdl_ = ray.get(bcast)
+        tf, dl = _doc_term_tf(batch)
+        tf = tf.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl[:, None] / avgdl_)
+        s = (idf_ * tf * (k1 + 1.0) / denom).sum(axis=1)
+        kk = min(_BM25_K, len(s))
+        top = np.argpartition(-s, kk - 1)[:kk] if kk else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().take(pa.array(top)),
+                "score": pa.array(s[top], pa.float64()),
+            }
+        )
+
+    part = toks.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    return (
+        part.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(_BM25_K)
+        .reset_index(drop=True)
+    )
+
+
+def _bm25_qterm_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT {token_id_sql(repr(w))} AS token" for w in _BM25_TERMS
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "bm25_topk_documents",
+        _q_bm25_topk,
+        f"""WITH tok AS (
+             SELECT 'doc-' || lpad(cast(doc_id AS varchar), 12, '0') AS doc_id,
+                    unnest({_TOKS_SQL}) AS token
+             FROM documents
+           ),
+           q AS ({_bm25_qterm_sql()}),
+           dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+           n AS (SELECT count(*) AS nd FROM documents),
+           ad AS (SELECT sum(dl)::double / (SELECT nd FROM n) AS avgdl FROM dl),
+           df AS (SELECT q.token,
+                         count(DISTINCT tok.doc_id) AS df
+                  FROM q LEFT JOIN tok USING (token) GROUP BY q.token),
+           tf AS (SELECT tok.doc_id, tok.token, count(*) AS tf
+                  FROM tok JOIN q USING (token) GROUP BY tok.doc_id, tok.token),
+           sc AS (SELECT tf.doc_id,
+                         sum(ln(((SELECT nd FROM n) - df.df + 0.5)
+                                / (df.df + 0.5) + 1.0)
+                             * tf.tf * ({_BM25_K1} + 1.0)
+                             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                + {_BM25_B} * dl.dl
+                                  / (SELECT avgdl FROM ad)))) AS score
+                  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+                  GROUP BY tf.doc_id)
+           SELECT a.doc_id, coalesce(sc.score, 0.0) AS score
+           FROM (SELECT 'doc-' || lpad(cast(doc_id AS varchar), 12, '0') AS doc_id
+                 FROM documents) a
+           LEFT JOIN sc USING (doc_id)
+           ORDER BY score DESC, doc_id LIMIT {_BM25_K}""",
+    )
+)
+
+
 def _q_top_tokens(sf_dir):
     """Per-source top-10 tokens (exact heavy hitters).  Per-batch
     composite-key bincount partials collapse each batch to at most
