@@ -48,12 +48,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone only)")
     p.add_argument(
-        "--driver", choices=["agg", "hll", "mg", "kll", "cep"], default="agg",
+        "--driver", choices=["agg", "hll", "mg", "kll", "cep", "dedup"],
+        default="agg",
         help="stream kind: agg = windowed moment aggregates (default); "
         "hll = windowed approximate distinct; mg = windowed heavy hitters; "
-        "kll = windowed quantile sketch; cep = deadline-bounded funnels",
+        "kll = windowed quantile sketch; cep = deadline-bounded funnels; "
+        "dedup = first-occurrence exact dedup",
     )
-    p.add_argument("--key", default="event_type", help="group/partition key (sketch/cep drivers)")
+    p.add_argument("--key", default="event_type",
+                   help="group/partition key (sketch/cep); id column (dedup: "
+                   "pass --key doc_id)")
     p.add_argument("--value", default="user_id",
                    help="value/item column (sketch drivers) / event-type column (cep)")
     p.add_argument("--ts-col", default="ts_us", help="event-time column, int64 us (sketch/cep)")
@@ -61,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cep: comma-separated ordered stage labels")
     p.add_argument("--within", type=int, default=172800,
                    help="cep: funnel deadline in SECONDS from the stage-0 match")
+    p.add_argument("--retention", type=int, default=None,
+                   help="dedup: evict seen-hashes idle this many epochs "
+                   "(bounded state; default None = exact)")
     return p
 
 
@@ -92,6 +99,14 @@ def _specialized_driver(args):
             ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
             allowed_lateness_s=args.lateness, n_partitions=args.partitions,
             batch_size=args.batch_size,
+        )
+    if args.driver == "dedup":
+        from raystat.streaming.dedup import DedupStreamDriver
+
+        return DedupStreamDriver(
+            args.input, args.out, text_col=args.value, id_col=args.key,
+            retention_epochs=args.retention,
+            n_partitions=args.partitions, batch_size=args.batch_size,
         )
     if args.driver == "cep":
         from raystat.streaming.cep import CepStreamDriver

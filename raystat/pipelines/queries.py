@@ -4331,6 +4331,56 @@ QUERIES.append(
 )
 
 
+def _q_streaming_dedup(sf_dir):
+    """STREAMING exact dedup (streaming/dedup.py): first-occurrence-
+    wins over the arrival-epoch document stream (originals + planted
+    echo copies) through hash-partitioned seen-hash actor state,
+    exactly-once per-epoch commits, and checkpoint/resume.  Rows never
+    shuffle: the router ships only (md5-64 hash, doc_id) pairs after a
+    per-batch min-id combiner.  With retention=None the survivor set
+    is exact, so the SQL twin is the pure arrival rule: winner per
+    text = first (arrival epoch, doc_id) — arrival epoch being the
+    SQL-reproducible doc_id % 4 of the fixture."""
+    import shutil
+    import tempfile
+
+    from raystat.streaming.dedup import DedupStreamDriver, docs_stream_fixture
+
+    fix = docs_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_sdedup_q_")
+    try:
+        drv = DedupStreamDriver(fix, out, n_partitions=8).prepare()
+        drv.run()
+        res = drv.result_table().to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return (
+        res[["doc_id", "epoch"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_dedup_documents",
+        _q_streaming_dedup,
+        """WITH stream AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000001 AS doc_id, text
+             FROM documents WHERE doc_id % 10 = 3
+           )
+           SELECT doc_id, doc_id % 4 AS epoch FROM (
+             SELECT doc_id,
+                    row_number() OVER (
+                      PARTITION BY text ORDER BY doc_id % 4, doc_id) AS rn
+             FROM stream
+           ) WHERE rn = 1""",
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # --------------------------------------------------------------------------

@@ -3,16 +3,18 @@ hash-partitioned stateful actor state stores, a stateful join against a
 late-arriving metadata stream, exactly-once Parquet commits, and
 per-partition checkpointing (SURVEY.md §3.2, §4.2).
 
-Six state kinds share the epoch/watermark/checkpoint conventions:
+Seven state kinds share the epoch/watermark/checkpoint conventions:
 sum-mergeable moment state (`StreamDriver`), stream-stream interval-join
 row buffers (`IntervalStreamDriver`), idempotent max-merge HLL register
 state (`HllStreamDriver`), bounded Misra-Gries heavy-hitter summaries
 (`MgStreamDriver`), CEP funnel match state with tombstones
-(`CepStreamDriver`), and per-window KLL quantile sketches
-(`KllStreamDriver`).
+(`CepStreamDriver`), per-window KLL quantile sketches
+(`KllStreamDriver`), and first-occurrence seen-hash dedup state with
+optional retention-bounded eviction (`DedupStreamDriver`).
 """
 
 from raystat.streaming.cep import CepStreamDriver
+from raystat.streaming.dedup import DedupStreamDriver
 from raystat.streaming.driver import StreamConfig, StreamDriver
 from raystat.streaming.interval import IntervalJoinConfig, IntervalStreamDriver
 from raystat.streaming.sink import ExactlyOnceParquetSink
@@ -32,4 +34,5 @@ __all__ = [
     "MgStreamDriver",
     "KllStreamDriver",
     "CepStreamDriver",
+    "DedupStreamDriver",
 ]
