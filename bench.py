@@ -349,6 +349,13 @@ def main() -> None:
     _q_streaming_value_quantiles(SF_DIR)
     queries["streaming_value_quantiles"] = round(time.time() - t0, 3)
 
+    # streaming exact dedup (first-occurrence seen-hash state)
+    from raystat.pipelines.queries import _q_streaming_dedup
+
+    t0 = time.time()
+    _q_streaming_dedup(SF_DIR)
+    queries["streaming_dedup_documents"] = round(time.time() - t0, 3)
+
     # CEP funnel + big x big hash join over the TPC-H tables
     from raystat.pipelines.queries import _q_funnel_events, _q_revenue_by_nation
 

@@ -2219,6 +2219,99 @@ QUERIES.append(
 )
 
 
+def _q_dup_ngram_spans(sf_dir):
+    """Cross-corpus duplicated n-gram spans: per document, the number
+    of its DISTINCT word-4-grams that also occur in at least one OTHER
+    document — the substring-level duplication signal (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better") that
+    whole-doc dedup (exact/MinHash/SimHash) cannot see: boilerplate
+    and template spans shared across otherwise-distinct documents.
+
+    Scale shape — fully distributed, no broadcast (the duplicated-span
+    set of a 100-TB template-heavy crawl is NOT small-side): distinct
+    (h4, doc_id) pairs stream out of the corpus read → one groupby(h4)
+    counts document frequency → df>=2 hashes inner-join back to the
+    pairs via the repo's co-partitioned hash_join (both sides already
+    keyed on h4) → O(#docs) per-doc counts.  The rolling Rabin-Karp
+    hash is the shared 4-gram unit of fingerprint/decontaminate (text.
+    window_hashes_4); its mod-2^61-1 arithmetic needs 128-bit mulmod,
+    so the per-doc fold stays in Python ints (one call per doc, not
+    per gram — same convention as decontaminate)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raystat.dataops.joins import hash_join
+    from raystat.dataops.text import WS_RE, window_hashes_4
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        hs_per = [
+            np.unique(
+                np.array(window_hashes_4(WS_RE.findall(t or "")), dtype=np.int64)
+            )
+            for t in texts
+        ]
+        n = np.array([h.size for h in hs_per], dtype=np.int64)
+        return pa.table(
+            {
+                "h4": pa.array(
+                    np.concatenate(hs_per) if len(hs_per) else
+                    np.zeros(0, np.int64)
+                ),
+                "doc_id": pa.array(np.repeat(ids, n)),
+            }
+        )
+
+    P = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+    dfc = P.groupby("h4").count()
+    cname = [c for c in dfc.schema().names if c != "h4"][0]
+
+    def dup_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b[cname], 2)).select(["h4"])
+
+    dup = dfc.map_batches(dup_only, batch_format="pyarrow")
+    hits = (
+        hash_join(P, dup, on="h4", how="inner")
+        .groupby("doc_id")
+        .count()
+        .to_pandas()
+    )
+    hits.columns = ["doc_id", "n_dup_4grams"]
+    all_ids = (
+        _read(sf_dir, "documents", ["doc_id"]).to_pandas().sort_values("doc_id")
+    )
+    out = all_ids.merge(hits, on="doc_id", how="left")
+    out["n_dup_4grams"] = out["n_dup_4grams"].fillna(0).astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+QUERIES.append(
+    QueryDef(
+        "dup_ngram_spans_documents",
+        _q_dup_ngram_spans,
+        f"""WITH w AS (SELECT doc_id, {SPLIT_WS} AS ws FROM documents),
+            h AS (SELECT doc_id, list_transform(ws, x ->
+                    cast(cast(('0x' || substr(md5(x),1,8)) as bigint) as hugeint)) AS hs
+                  FROM w),
+            g AS (SELECT doc_id,
+                    cast(unnest(list_distinct({{H4}})) as bigint) AS h4
+                  FROM h WHERE len(hs) >= 4),
+            dup AS (SELECT h4 FROM g GROUP BY h4 HAVING count(*) >= 2),
+            hits AS (SELECT g.doc_id, count(*) AS n_dup_4grams
+                     FROM g JOIN dup USING (h4) GROUP BY 1)
+            SELECT d.doc_id, coalesce(hits.n_dup_4grams, 0) AS n_dup_4grams
+            FROM documents d LEFT JOIN hits USING (doc_id)""".replace(
+            "{H4}", _H4_SQL
+        ),
+    )
+)
+
+
 def _q_token_doc_freq(sf_dir):
     """Token document frequency + smoothed IDF.  Each doc occupies ONE
     row, so per-batch DISTINCT (doc, token) incidence (np.unique over a
