@@ -194,6 +194,8 @@ def near_dedup_lp(ds, pairs, id_col: str = "doc_id"):
         {"a": np.asarray(pairs["doc_a"], dtype=np.int64),
          "b": np.asarray(pairs["doc_b"], dtype=np.int64)}
     )
+    if not len(edges):  # no dup pairs: every doc survives
+        return ds
     comp = connected_components(rd.from_pandas(edges))
     losers = np.sort(
         comp.loc[comp["node"] != comp["component"], "node"].to_numpy(np.int64)

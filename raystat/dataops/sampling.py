@@ -21,7 +21,13 @@ import pyarrow as pa
 
 from raystat.dataops.pairs import splitmix64
 
-__all__ = ["hash_pct", "sample_by_hash", "assign_split_batch", "split_dataset"]
+__all__ = [
+    "hash_pct",
+    "sample_by_hash",
+    "assign_split_batch",
+    "split_dataset",
+    "sample_k_per_group",
+]
 
 # (name, upper-bound pct) cumulative: h<80 train, h<90 val, else test
 DEFAULT_SPLITS = (("train", 80), ("val", 90), ("test", 100))
@@ -89,3 +95,48 @@ def stratified_sample(ds, pct_by_key: dict, key_col: str = "source",
         return batch.filter(pa.array(hash_pct(ids) < cuts))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def sample_k_per_group(ds, k: int, key_col: str = "source",
+                       id_col: str = "doc_id"):
+    """Exactly-k deterministic sample per group: the k rows with the
+    SMALLEST splitmix64(id) per key (ties by id) — a coordination-free
+    fixed-size reservoir equivalent (bottom-k sketch): stable under
+    reruns, repartitioning and cluster size, unlike an RNG reservoir.
+
+    Scale shape: per-batch PARTIAL bottom-k per group (one lexsort per
+    batch) means at most k x groups x batches candidate rows reach the
+    one small groupby — the corpus itself never shuffles.  Returns a
+    Dataset of the selected (key, id, hash) rows."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        hv = splitmix64(ids.astype(np.uint64))
+        codes, uniq = pd.factorize(keys, sort=False)
+        order = np.lexsort((ids, hv, codes))
+        cs = codes[order]
+        # rank within group along the sorted layout
+        starts = np.flatnonzero(np.diff(cs, prepend=-1))
+        rank = np.arange(cs.size) - np.repeat(starts, np.diff(
+            np.append(starts, cs.size)))
+        keep = order[rank < k]
+        return pa.table(
+            {
+                key_col: pa.array(keys[keep]),
+                id_col: pa.array(ids[keep]),
+                "hv": pa.array(hv[keep].astype(np.int64)),
+            }
+        )
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        hv_u = g["hv"].to_numpy().astype(np.uint64)
+        order = np.lexsort((g[id_col].to_numpy(), hv_u))
+        return g.iloc[order[:k]][[key_col, id_col, "hv"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pandas")
+    )

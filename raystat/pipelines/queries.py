@@ -1252,6 +1252,25 @@ def _q_embedding_dups(sf_dir):
     return out[["vec_a", "vec_b"]]
 
 
+def _q_near_dedup_embeddings(sf_dir):
+    """Embedding-space near-dedup END PRODUCT: keep the min-id vector
+    of every connected component of the cosine >= 0.95 pair graph —
+    the same survivor rule as the text-side dedup_near_documents,
+    composed from the SCALE pair path (hyperplane-LSH bucketed
+    candidates + distributed cosine verify) and the distributed
+    min-label-propagation clustering (driver sees only loser ids)."""
+    from raystat.dataops.dedup import near_dedup_lp
+    from raystat.dataops.similarity import embedding_lsh_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_lsh_pairs(emb, threshold=0.95).rename(
+        columns={"vec_a": "doc_a", "vec_b": "doc_b"}
+    )
+    return near_dedup_lp(
+        _read(sf_dir, "embeddings", ["vec_id"]), pairs, id_col="vec_id"
+    ).select_columns(["vec_id"])
+
+
 def _q_embedding_lsh(sf_dir):
     """Shares the brute-force SQL twin: precision is exact by
     construction (distributed cosine verify), so LSH output ⊆ brute
@@ -1541,6 +1560,27 @@ QUERIES.extend(
                                             cast(b.embedding as double[])) >= 0.95""",
         ),
         QueryDef(
+            "dedup_near_embeddings",
+            _q_near_dedup_embeddings,
+            """WITH RECURSIVE pr AS MATERIALIZED (
+                 SELECT a.vec_id AS a, b.vec_id AS b
+                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                 WHERE list_cosine_similarity(cast(a.embedding as double[]),
+                                              cast(b.embedding as double[])) >= 0.95
+               ),
+               edges AS (
+                 SELECT a, b FROM pr UNION SELECT b, a FROM pr
+               ),
+               walk(node, reach) AS (
+                 SELECT a, b FROM edges
+                 UNION
+                 SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+               ),
+               comp AS (SELECT node, min(reach) AS mn FROM walk GROUP BY node)
+               SELECT vec_id FROM embeddings
+               WHERE vec_id NOT IN (SELECT node FROM comp WHERE mn < node)""",
+        ),
+        QueryDef(
             "embedding_lsh_pairs",
             _q_embedding_lsh,
             """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1694,10 +1734,46 @@ SPLITMIX_PCT_CTE = f"""sm0 AS (
      FROM sm4)"""
 
 
+# same splitmix64 pipeline but keeping the FULL 64-bit hash (for
+# per-group bottom-k ordering, not a percentile cut)
+SPLITMIX_FULL_CTE = f"""sm0 AS (
+     SELECT doc_id, source,
+       cast((cast(cast(doc_id as bigint) as uhugeint) + 11400714819323198485)
+            % {_SM_MOD} as ubigint) AS z
+     FROM documents
+   ), sm1 AS (SELECT doc_id, source, xor(z, z >> 30) AS z FROM sm0
+   ), sm2 AS (SELECT doc_id, source,
+       cast((cast(z as uhugeint) * 13787848793156543929) % {_SM_MOD} as ubigint) AS z
+     FROM sm1
+   ), sm3 AS (SELECT doc_id, source, xor(z, z >> 27) AS z FROM sm2
+   ), sm4 AS (SELECT doc_id, source,
+       cast((cast(z as uhugeint) * 10723151780598845931) % {_SM_MOD} as ubigint) AS z
+     FROM sm3
+   ), smf AS (SELECT doc_id, source, xor(z, z >> 31) AS hv FROM sm4)"""
+
+
 def _q_sample_documents(sf_dir):
     from raystat.dataops.sampling import sample_by_hash
 
     return sample_by_hash(_docs(sf_dir), pct=20).select_columns(["doc_id", "source"])
+
+
+def _q_sample_k_per_source(sf_dir):
+    """Exactly-k deterministic per-group sample (bottom-k by
+    splitmix64 hash, ties by id): the coordination-free reservoir
+    equivalent — stable under reruns, repartitioning and cluster size.
+    Per-batch partial bottom-k means at most k x groups x batches
+    candidate rows reach the final tiny groupby; the corpus never
+    shuffles."""
+    from raystat.dataops.sampling import sample_k_per_group
+
+    return (
+        sample_k_per_group(_docs(sf_dir), k=5)
+        .select_columns(["doc_id", "source"])
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
 
 
 def _q_split_documents(sf_dir):
@@ -1712,6 +1788,17 @@ QUERIES.extend(
             "sample_documents",
             _q_sample_documents,
             f"WITH {SPLITMIX_PCT_CTE} SELECT doc_id, source FROM smh WHERE h < 20",
+        ),
+        QueryDef(
+            "sample_k_per_source_documents",
+            _q_sample_k_per_source,
+            f"""WITH {SPLITMIX_FULL_CTE}
+                SELECT doc_id, source FROM (
+                  SELECT doc_id, source,
+                         row_number() OVER (
+                           PARTITION BY source ORDER BY hv, doc_id) AS rn
+                  FROM smf
+                ) WHERE rn <= 5""",
         ),
         QueryDef(
             "split_documents",

@@ -1353,3 +1353,40 @@ def test_dedup_overflow_metrics_zero_at_sf001(ray_session):
 
     row = _q_dedup_overflow("/root/testdata/sf0.01").iloc[0]
     assert (row == 0).all(), dict(row)
+
+
+def test_sample_k_per_group_exact_k_and_partition_invariant(ray_session):
+    """Bottom-k-by-hash sampling returns exactly k rows per group
+    (whole group when smaller than k) and the SAME rows regardless of
+    block layout — the determinism an RNG reservoir cannot give."""
+    import ray.data as rd
+
+    from raystat.dataops.pairs import splitmix64
+    from raystat.dataops.sampling import sample_k_per_group
+
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    keys = np.array([f"g{i % 3}" for i in ids], dtype=object)
+    keys[ids >= 198] = "tiny"  # 2-row group < k
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(keys)})
+
+    def run(nblocks):
+        out = to_pandas(
+            sample_k_per_group(
+                rd.from_arrow(t).repartition(nblocks), k=5
+            )
+        ).sort_values(["source", "doc_id"], ignore_index=True)
+        return out
+
+    a, b = run(1), run(16)
+    pd.testing.assert_frame_equal(a, b)
+    sizes = a.groupby("source").size()
+    assert sizes["tiny"] == 2
+    assert all(sizes[g] == 5 for g in ("g0", "g1", "g2"))
+    # winners really are the k smallest hashes per group
+    hv = splitmix64(ids.astype(np.uint64))
+    for g in ("g0", "g1", "g2"):
+        grp = ids[keys == g]
+        want = sorted(grp[np.argsort(hv[keys == g], kind="stable")][:5])
+        got = sorted(a.loc[a["source"] == g, "doc_id"])
+        assert got == want
