@@ -4598,13 +4598,16 @@ _DRIVER_WINDOW = [
     "streaming_joined_quality",
     "streaming_changes_final",
     "streaming_per_source_tokens",
-    # LLM-data: dedup family (6)
+    # LLM-data: dedup family (6; near_dup_components_documents is the
+    # clustering mechanism UNDER the in-window dedup_near_documents end
+    # product, and dedup_overflow_metrics is the cap-observability twin
+    # of the in-window pair generators — both follow after)
     "dedup_exact_documents",
     "minhash_dedup_pairs",
     "simhash_dedup_pairs",
-    "near_dup_components_documents",
+    "ngram_jaccard_pairs",
     "dedup_near_documents",
-    "dedup_overflow_metrics",
+    "streaming_dedup_documents",
     # LLM-data: similarity / ANN (3; the quantized-recall gate shares
     # the ANN family rows and follows after)
     "ann_topk_embeddings",
