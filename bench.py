@@ -356,6 +356,13 @@ def main() -> None:
     _q_streaming_dedup(SF_DIR)
     queries["streaming_dedup_documents"] = round(time.time() - t0, 3)
 
+    # streaming temporal join (dominated-right pruned state)
+    from raystat.pipelines.queries import _q_streaming_asof
+
+    t0 = time.time()
+    _q_streaming_asof(SF_DIR)
+    queries["streaming_asof_purchases"] = round(time.time() - t0, 3)
+
     # CEP funnel + big x big hash join over the TPC-H tables
     from raystat.pipelines.queries import _q_funnel_events, _q_revenue_by_nation
 

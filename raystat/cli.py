@@ -48,12 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone only)")
     p.add_argument(
-        "--driver", choices=["agg", "hll", "mg", "kll", "cep", "dedup"],
+        "--driver",
+        choices=["agg", "hll", "mg", "kll", "cep", "dedup", "asof"],
         default="agg",
         help="stream kind: agg = windowed moment aggregates (default); "
         "hll = windowed approximate distinct; mg = windowed heavy hitters; "
         "kll = windowed quantile sketch; cep = deadline-bounded funnels; "
-        "dedup = first-occurrence exact dedup",
+        "dedup = first-occurrence exact dedup; asof = temporal join",
     )
     p.add_argument("--key", default="event_type",
                    help="group/partition key (sketch/cep); id column (dedup: "
@@ -99,6 +100,17 @@ def _specialized_driver(args):
             ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
             allowed_lateness_s=args.lateness, n_partitions=args.partitions,
             batch_size=args.batch_size,
+        )
+    if args.driver == "asof":
+        from raystat.streaming.asof import AsofJoinConfig, AsofStreamDriver
+
+        return AsofStreamDriver(
+            args.input, args.out,
+            AsofJoinConfig(
+                by=args.key, on=args.ts_col,
+                allowed_lateness_s=args.lateness,
+                n_partitions=args.partitions, batch_size=args.batch_size,
+            ),
         )
     if args.driver == "dedup":
         from raystat.streaming.dedup import DedupStreamDriver

@@ -4511,6 +4511,57 @@ QUERIES.append(
 )
 
 
+def _q_streaming_asof(sf_dir):
+    """STREAMING as-of (temporal) join (streaming/asof.py): every
+    click/view joins the latest at-or-before purchase of its user,
+    watermark-final (a left emits exactly once, when the watermark
+    passes its event time), through hash-partitioned join-state actors
+    with DOMINATED-RIGHT pruning — per key only rights ahead of the
+    watermark plus the single latest at-or-below survive, the Flink
+    temporal-table state bound.  The fixture's 5% late arrivals sit
+    inside the allowed lateness, so the streamed match set equals the
+    batch ASOF LEFT JOIN oracle."""
+    import shutil
+    import tempfile
+
+    from raystat.streaming.asof import (
+        AsofJoinConfig,
+        AsofStreamDriver,
+        events_asof_fixture,
+    )
+
+    fix = events_asof_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_sasof_q_")
+    try:
+        cfg = AsofJoinConfig(allowed_lateness_s=200 * 3600, n_partitions=8)
+        drv = AsofStreamDriver(fix, out, cfg).prepare()
+        drv.run()
+        res = drv.result_table().to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res["purchase_value"] = res["pv"].fillna(-1.0)
+    return (
+        res[["event_id", "user_id", "value", "purchase_value"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_asof_purchases",
+        _q_streaming_asof,
+        """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                      WHERE event_type IN ('click','view')),
+             r AS (SELECT user_id, ts, value AS pv FROM events
+                   WHERE event_type = 'purchase')
+           SELECT l.event_id, l.user_id, l.value,
+                  coalesce(r.pv, -1.0) AS purchase_value
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    )
+)
+
+
 def _q_streaming_dedup(sf_dir):
     """STREAMING exact dedup (streaming/dedup.py): first-occurrence-
     wins over the arrival-epoch document stream (originals + planted

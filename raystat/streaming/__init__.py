@@ -3,16 +3,18 @@ hash-partitioned stateful actor state stores, a stateful join against a
 late-arriving metadata stream, exactly-once Parquet commits, and
 per-partition checkpointing (SURVEY.md §3.2, §4.2).
 
-Seven state kinds share the epoch/watermark/checkpoint conventions:
+Eight state kinds share the epoch/watermark/checkpoint conventions:
 sum-mergeable moment state (`StreamDriver`), stream-stream interval-join
 row buffers (`IntervalStreamDriver`), idempotent max-merge HLL register
 state (`HllStreamDriver`), bounded Misra-Gries heavy-hitter summaries
 (`MgStreamDriver`), CEP funnel match state with tombstones
 (`CepStreamDriver`), per-window KLL quantile sketches
-(`KllStreamDriver`), and first-occurrence seen-hash dedup state with
-optional retention-bounded eviction (`DedupStreamDriver`).
+(`KllStreamDriver`), first-occurrence seen-hash dedup state with
+optional retention-bounded eviction (`DedupStreamDriver`), and
+temporal-join state with dominated-right pruning (`AsofStreamDriver`).
 """
 
+from raystat.streaming.asof import AsofJoinConfig, AsofStreamDriver
 from raystat.streaming.cep import CepStreamDriver
 from raystat.streaming.dedup import DedupStreamDriver
 from raystat.streaming.driver import StreamConfig, StreamDriver
@@ -35,4 +37,6 @@ __all__ = [
     "KllStreamDriver",
     "CepStreamDriver",
     "DedupStreamDriver",
+    "AsofJoinConfig",
+    "AsofStreamDriver",
 ]
