@@ -4511,6 +4511,59 @@ QUERIES.append(
 )
 
 
+def _q_range_partition_documents(sf_dir):
+    """Resumable RANGE-PARTITIONED output (dataops/partition.py): the
+    documents table lands as hive ``bucket=K/`` directories keyed on
+    n_chars quantile ranges, each sealed by a per-bucket manifest —
+    a crashed job re-runs skipping sealed buckets, and readers prune
+    at the directory level.  Boundary pass = mergeable KLL partials
+    (k=65536 never compresses at test scale, so the boundaries are
+    EXACT under the quantile_disc rank rule — the same code with a
+    small k is the approximate 100-TB path).  The returned counts are
+    read from the SEALED MANIFESTS of the written output, so the
+    oracle verifies the writer end-to-end, not a side computation."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from raystat.dataops.partition import (
+        bucket_counts,
+        kll_boundaries,
+        range_partition_write,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    bounds = kll_boundaries(ds, "n_chars", n_buckets=8, k=65536)
+    out = tempfile.mkdtemp(prefix="raystat_rpart_q_")
+    try:
+        range_partition_write(ds, "n_chars", bounds, os.path.join(out, "p"))
+        counts = bucket_counts(os.path.join(out, "p"))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pd.DataFrame(
+        {"bucket": [b for b, _ in counts], "n_rows": [n for _, n in counts]}
+    ).sort_values("bucket").reset_index(drop=True)
+
+
+QUERIES.append(
+    QueryDef(
+        "range_partition_documents",
+        _q_range_partition_documents,
+        """WITH b AS (
+             SELECT quantile_disc(n_chars,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+             FROM documents
+           )
+           SELECT bucket, count(*) AS n_rows FROM (
+             SELECT cast(len(list_filter(b.bs, x -> d.n_chars >= x))
+                         as bigint) AS bucket
+             FROM documents d CROSS JOIN b
+           ) GROUP BY bucket""",
+    )
+)
+
+
 def _q_streaming_asof(sf_dir):
     """STREAMING as-of (temporal) join (streaming/asof.py): every
     click/view joins the latest at-or-before purchase of its user,

@@ -1390,3 +1390,68 @@ def test_sample_k_per_group_exact_k_and_partition_invariant(ray_session):
         want = sorted(grp[np.argsort(hv[keys == g], kind="stable")][:5])
         got = sorted(a.loc[a["source"] == g, "doc_id"])
         assert got == want
+
+
+def test_range_partition_write_resumable(ray_session):
+    """Sealed buckets survive a re-run untouched; an unsealed (crashed)
+    bucket is re-installed; a fully-sealed re-run is a no-op; counts
+    come from manifests and sum to the input."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raystat.dataops.partition import (
+        bucket_counts,
+        kll_boundaries,
+        range_partition_write,
+    )
+
+    n = 400
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "n_chars": pa.array(((np.arange(n) * 37) % 1000).astype(np.int64))}
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    bounds = kll_boundaries(ds, "n_chars", n_buckets=4, k=65536)
+    root = tempfile.mkdtemp(prefix="rs_rpart_")
+    out = os.path.join(root, "p")
+    try:
+        c1 = range_partition_write(ds, "n_chars", bounds, out)
+        assert sum(c1.values()) == n and len(c1) == 4
+        assert dict(bucket_counts(out)) == c1
+        # bucket value ranges really are disjoint and ordered
+        for b in range(4):
+            files = glob.glob(os.path.join(out, f"bucket={b}", "*.parquet"))
+            vals = np.concatenate(
+                [pq.read_table(f)["n_chars"].to_numpy() for f in files]
+            )
+            lo = -np.inf if b == 0 else bounds[b - 1]
+            hi = np.inf if b == 3 else bounds[b]
+            assert ((vals >= lo) & (vals < hi)).all()
+
+        mt = {
+            f: os.path.getmtime(os.path.join(out, f))
+            for f in os.listdir(out) if f.startswith("bucket=")
+        }
+        # fully-sealed re-run: no-op, nothing rewritten
+        c2 = range_partition_write(ds, "n_chars", bounds, out)
+        assert c2 == c1
+        for f, m in mt.items():
+            assert os.path.getmtime(os.path.join(out, f)) == m
+
+        # simulate a crash that lost bucket 2 (data AND seal)
+        shutil.rmtree(os.path.join(out, "bucket=2"))
+        os.remove(os.path.join(out, "_manifests", "bucket-00002.json"))
+        c3 = range_partition_write(ds, "n_chars", bounds, out)
+        assert c3 == c1
+        assert dict(bucket_counts(out)) == c1
+        # sealed buckets were NOT rewritten
+        for f, m in mt.items():
+            if f != "bucket=2":
+                assert os.path.getmtime(os.path.join(out, f)) == m
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
