@@ -25,6 +25,8 @@ __all__ = [
     "lang_id_batch",
     "fingerprint_batch",
     "window_hashes_4",
+    "window_hashes_4_flat",
+    "distinct_window_hashes_4",
     "STOPWORDS",
 ]
 
@@ -191,6 +193,127 @@ def window_hashes_4(words: list[str]) -> list[int]:
     return out
 
 
+# -- vectorized Rabin-Karp (the batch path of the three 4-gram ops) ---------
+#
+# (acc * B) % M with M = 2^61-1 needs a 81-bit product; numpy has no
+# 128-bit integers, so the multiply is split 64-bit-safe:
+#   acc = hi*2^44 + lo;  acc*B = hi*B*2^44 + lo*B
+#   lo*B  < 2^44 * 1000003 < 2^64           (exact in uint64)
+#   x*2^44 ≡ (x>>17) + ((x & (2^17-1))<<44) (mod M, since 2^61 ≡ 1)
+# The result is bit-identical to the scalar Python fold (pytest-pinned
+# and oracle-pinned: fingerprint/decontaminate/dup-span queries).
+
+_RK_B64 = np.uint64(_RK_B)
+_RK_M64 = np.uint64(_RK_M)
+_RK_MASK44 = np.uint64((1 << 44) - 1)
+_RK_MASK17 = np.uint64((1 << 17) - 1)
+
+
+def _mulmod_b(acc: np.ndarray) -> np.ndarray:
+    """(acc * _RK_B) % _RK_M elementwise, acc < 2^61, pure uint64."""
+    hi = acc >> np.uint64(44)
+    lo = acc & _RK_MASK44
+    x = hi * _RK_B64
+    highpart = (x >> np.uint64(17)) + ((x & _RK_MASK17) << np.uint64(44))
+    y = lo * _RK_B64
+    y = (y >> np.uint64(61)) + (y & _RK_M64)
+    return (y + highpart) % _RK_M64
+
+
+def _horner_step(acc: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """((acc * B) + h) % M elementwise (h < 2^32)."""
+    return (_mulmod_b(acc) + h) % _RK_M64
+
+
+def _split_word_hashes(texts_col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat md5-32 word hashes as uint64, word offsets int64[n+1]) for
+    a batch text column — Arrow whitespace split (byte-identical to
+    WS_RE.findall, see pipelines.tokens), dictionary-encoded so each
+    UNIQUE word is md5-hashed once."""
+    import pyarrow.compute as pc
+
+    txt = texts_col.combine_chunks() if isinstance(
+        texts_col, pa.ChunkedArray
+    ) else texts_col
+    wl = pc.ascii_split_whitespace(pc.fill_null(txt, ""))
+    if isinstance(wl, pa.ChunkedArray):
+        wl = wl.combine_chunks()
+    loff = wl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = int(loff[0])
+    vals = wl.values.slice(lo, int(loff[-1]) - lo)
+    keep = np.asarray(pc.binary_length(vals)) > 0
+    cum = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum(keep, out=cum[1:])
+    rel = loff - lo
+    offsets = cum[rel]  # int64[n+1]
+    flat_words = vals.filter(pa.array(keep))
+    if len(flat_words):
+        d = pc.dictionary_encode(flat_words)
+        uniq = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "big")
+                for w in d.dictionary.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(d.dictionary),
+        )
+        wh = uniq[d.indices.to_numpy(zero_copy_only=False)]
+    else:
+        wh = np.zeros(0, dtype=np.uint64)
+    return wh, offsets
+
+
+def _windows_from_words(
+    wh: np.ndarray, w_off: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(h4 uint64 flat, window offsets int64[n+1]) from flattened word
+    hashes — one vectorized 4-step Horner, no per-doc Python."""
+    n_words = np.diff(w_off)
+    n_win = np.maximum(n_words - 3, 0)
+    h4_off = np.zeros(len(n_win) + 1, dtype=np.int64)
+    np.cumsum(n_win, out=h4_off[1:])
+    total = int(h4_off[-1])
+    if not total:
+        return np.zeros(0, dtype=np.uint64), h4_off
+    # flat start positions of each window (doc-local windows only)
+    base = np.repeat(w_off[:-1], n_win)
+    within = np.arange(total) - np.repeat(h4_off[:-1], n_win)
+    s = base + within
+    acc = wh[s]
+    for j in (1, 2, 3):
+        acc = _horner_step(acc, wh[s + j])
+    return acc, h4_off
+
+
+def window_hashes_4_flat(texts_col) -> tuple[np.ndarray, np.ndarray]:
+    """All rolling word-4-gram hashes of a batch text column, flat:
+    (h4 int64, window offsets int64[n+1]).  Docs with <4 words get 0
+    windows (the scalar convention)."""
+    wh, w_off = _split_word_hashes(texts_col)
+    acc, h4_off = _windows_from_words(wh, w_off)
+    return acc.astype(np.int64), h4_off
+
+
+def distinct_window_hashes_4(texts_col) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT (and sorted) 4-gram hashes, flat: (h4 int64,
+    offsets int64[n+1]) — one lexsort over (doc, h4) + a run-dedup
+    mask replaces the per-doc ``np.unique`` loops."""
+    h4, off = window_hashes_4_flat(texts_col)
+    n = len(off) - 1
+    if not h4.size:
+        return h4, off
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    order = np.lexsort((h4, doc_of))
+    ds_, hs_ = doc_of[order], h4[order]
+    first = np.ones(hs_.size, dtype=bool)
+    first[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+    ds_u, hs_u = ds_[first], hs_[first]
+    counts = np.bincount(ds_u, minlength=n)
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    return hs_u, out_off
+
+
 def _rolling_hash_tokens(words: list[str]) -> int:
     """Winnowing-style fingerprint: min of rolling 4-gram hashes
     (Rabin-Karp over md5-prefix word hashes); deterministic 61-bit."""
@@ -206,11 +329,29 @@ def _rolling_hash_tokens(words: list[str]) -> int:
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, fingerprint): content fingerprint stable under
-    whitespace normalization; identical texts get identical prints."""
-    texts = batch["text"].to_pylist()
-    fps = np.fromiter(
-        (_rolling_hash_tokens(_WS.findall(t or "")) for t in texts),
-        dtype=np.int64,
-        count=len(texts),
+    whitespace normalization; identical texts get identical prints.
+    Fully vectorized: one Arrow split + unique-word md5 + 4-step
+    Horner + ``minimum.reduceat`` per doc; short docs (<4 words) fold
+    their words in at most 3 masked vector steps (bit-identical to the
+    scalar ``_rolling_hash_tokens``, pytest-pinned)."""
+    wh, w_off = _split_word_hashes(batch["text"])
+    n = len(w_off) - 1
+    n_words = np.diff(w_off)
+    fps = np.zeros(n, dtype=np.uint64)
+    short = np.flatnonzero((n_words > 0) & (n_words < 4))
+    if short.size:
+        acc = np.zeros(short.size, dtype=np.uint64)
+        for j in range(3):
+            sel = np.flatnonzero(n_words[short] > j)
+            if not sel.size:
+                break
+            acc[sel] = _horner_step(acc[sel], wh[w_off[short[sel]] + j])
+        fps[short] = acc
+    h4, h4_off = _windows_from_words(wh, w_off)
+    if h4.size:
+        n_win = np.diff(h4_off)
+        longd = np.flatnonzero(n_win > 0)
+        fps[longd] = np.minimum.reduceat(h4, h4_off[longd])
+    return pa.table(
+        {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps.astype(np.int64))}
     )
-    return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)})

@@ -2235,16 +2235,13 @@ def _q_decontaminate(sf_dir):
     import pyarrow as pa
     import ray
 
-    from raystat.dataops.text import WS_RE, window_hashes_4
+    from raystat.dataops.text import distinct_window_hashes_4
 
     def bench_partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sel = np.flatnonzero(ids % 100 == 0)
-        hs: set[int] = set()
-        texts = batch["text"].to_pylist()
-        for i in sel:
-            hs.update(window_hashes_4(WS_RE.findall(texts[i] or "")))
-        return pa.table({"h4": pa.array(sorted(hs), pa.int64())})
+        sub = batch.filter(pa.array(ids % 100 == 0))
+        hs, _ = distinct_window_hashes_4(sub["text"])
+        return pa.table({"h4": pa.array(np.unique(hs), pa.int64())})
 
     bench = (
         _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2257,19 +2254,20 @@ def _q_decontaminate(sf_dir):
     def score(batch: pa.Table) -> pa.Table:
         bset = ray.get(bench_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.flatnonzero(ids % 100 != 0)
-        texts = batch["text"].to_pylist()
-        n_hits = np.zeros(len(keep), dtype=np.int64)
-        for j, i in enumerate(keep):
-            ws = np.unique(
-                np.array(window_hashes_4(WS_RE.findall(texts[i] or "")), dtype=np.int64)
-            )
-            if ws.size and bset.size:
-                pos = np.searchsorted(bset, ws)
-                pos[pos == bset.size] = 0
-                n_hits[j] = int((bset[pos] == ws).sum())
+        sub = batch.filter(pa.array(ids % 100 != 0))
+        sub_ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs, off = distinct_window_hashes_4(sub["text"])
+        n_hits = np.zeros(len(sub_ids), dtype=np.int64)
+        if hs.size and bset.size:
+            pos = np.searchsorted(bset, hs)
+            pos[pos == bset.size] = 0
+            hit = bset[pos] == hs
+            doc_of = np.repeat(np.arange(len(sub_ids)), np.diff(off))
+            n_hits = np.bincount(
+                doc_of[hit], minlength=len(sub_ids)
+            ).astype(np.int64)
         return pa.table(
-            {"doc_id": pa.array(ids[keep]), "n_hits": pa.array(n_hits)}
+            {"doc_id": pa.array(sub_ids), "n_hits": pa.array(n_hits)}
         )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -2313,6 +2311,8 @@ def _q_dup_ngram_spans(sf_dir):
     "Deduplicating Training Data Makes Language Models Better") that
     whole-doc dedup (exact/MinHash/SimHash) cannot see: boilerplate
     and template spans shared across otherwise-distinct documents.
+    Fully vectorized 4-gram hashing (text.distinct_window_hashes_4:
+    Arrow split + unique-word md5 + 64-bit-safe mod-2^61-1 Horner).
 
     Scale shape — fully distributed, no broadcast (the duplicated-span
     set of a 100-TB template-heavy crawl is NOT small-side): distinct
@@ -2320,33 +2320,22 @@ def _q_dup_ngram_spans(sf_dir):
     counts document frequency → df>=2 hashes inner-join back to the
     pairs via the repo's co-partitioned hash_join (both sides already
     keyed on h4) → O(#docs) per-doc counts.  The rolling Rabin-Karp
-    hash is the shared 4-gram unit of fingerprint/decontaminate (text.
-    window_hashes_4); its mod-2^61-1 arithmetic needs 128-bit mulmod,
-    so the per-doc fold stays in Python ints (one call per doc, not
-    per gram — same convention as decontaminate)."""
+    hash is the shared 4-gram unit of fingerprint/decontaminate
+    (text.distinct_window_hashes_4 — vectorized split-multiply
+    mod-2^61-1 Horner, no per-doc Python)."""
     import numpy as np
     import pyarrow as pa
 
     from raystat.dataops.joins import hash_join
-    from raystat.dataops.text import WS_RE, window_hashes_4
+    from raystat.dataops.text import distinct_window_hashes_4
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch["text"].to_pylist()
-        hs_per = [
-            np.unique(
-                np.array(window_hashes_4(WS_RE.findall(t or "")), dtype=np.int64)
-            )
-            for t in texts
-        ]
-        n = np.array([h.size for h in hs_per], dtype=np.int64)
+        hs, off = distinct_window_hashes_4(batch["text"])
         return pa.table(
             {
-                "h4": pa.array(
-                    np.concatenate(hs_per) if len(hs_per) else
-                    np.zeros(0, np.int64)
-                ),
-                "doc_id": pa.array(np.repeat(ids, n)),
+                "h4": pa.array(hs),
+                "doc_id": pa.array(np.repeat(ids, np.diff(off))),
             }
         )
 

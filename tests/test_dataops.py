@@ -1455,3 +1455,35 @@ def test_range_partition_write_resumable(ray_session):
                 assert os.path.getmtime(os.path.join(out, f)) == m
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_window_hashes_vectorized_equals_scalar():
+    """The 64-bit split-multiply mod-2^61-1 Horner must be
+    BIT-IDENTICAL to the scalar Python fold on every shape: long docs,
+    <4-word docs, empty, repeated words, 50+ windows."""
+    from raystat.dataops.text import (
+        WS_RE,
+        _rolling_hash_tokens,
+        distinct_window_hashes_4,
+        fingerprint_batch,
+        window_hashes_4,
+        window_hashes_4_flat,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b c", "", "one two three four",
+        "x " * 50 + "y z w v", "solo",
+        " ".join(f"w{i % 7}" for i in range(40)),
+    ]
+    col = pa.array(texts, pa.string())
+    flat, off = window_hashes_4_flat(col)
+    d, doff = distinct_window_hashes_4(col)
+    fb = fingerprint_batch(
+        pa.table({"doc_id": pa.array(range(len(texts))), "text": col})
+    )
+    for i, t in enumerate(texts):
+        ws = WS_RE.findall(t)
+        assert flat[off[i]:off[i + 1]].tolist() == window_hashes_4(ws)
+        assert d[doff[i]:doff[i + 1]].tolist() == sorted(set(window_hashes_4(ws)))
+        assert int(fb["fingerprint"][i].as_py()) == _rolling_hash_tokens(ws)
