@@ -18,8 +18,13 @@ def build_parser() -> argparse.ArgumentParser:
         prog="raystat",
         description="Streaming windowed statistics over an arrival-partitioned token stream",
     )
-    p.add_argument("--input", required=True, help="dir with arrival=N/*.parquet")
-    p.add_argument("--out", required=True, help="output dir (sinks + checkpoints)")
+    p.add_argument("--input", help="dir with arrival=N/*.parquet")
+    p.add_argument("--out", help="output dir (sinks + checkpoints)")
+    p.add_argument(
+        "--show-functions", action="store_true",
+        help="print the aggregate-function registry (ksqlDB SHOW "
+        "FUNCTIONS parity) as JSON and exit",
+    )
     p.add_argument("--window", type=int, default=3600, help="tumbling size (s)")
     p.add_argument("--hop", type=int, default=None, help="hop (s) => hopping windows")
     p.add_argument("--session-gap", type=int, default=None, help="gap (s) => session windows")
@@ -135,6 +140,14 @@ def _specialized_driver(args):
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.show_functions:  # no Ray session needed
+        from raystat.accumulators import show_functions
+
+        json.dump(show_functions(), sys.stdout, indent=1)
+        print()
+        return 0
+    if not args.input or not args.out:
+        build_parser().error("--input and --out are required to run a stream")
     import ray
 
     if not ray.is_initialized():
