@@ -587,30 +587,108 @@ def _shingle_strings(text: str, k: int = 3) -> set[str]:
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
 
 
-def _doc_shingle_md5_arrays(texts: list) -> tuple[np.ndarray, np.ndarray]:
-    """Flattened md5-prefix-64 shingle hashes + row offsets.  md5 (not
-    crc32+mix) so the DuckDB oracle computes the IDENTICAL feature
-    hash: cast('0x' || substr(md5(s),1,16) as ubigint).  Empty docs
-    pad with one 0 hash (keeps reduceat offsets valid; yields
-    simhash 0, matching the oracle's coalesce)."""
-    sets = [_shingle_strings(t) for t in texts]
-    counts = np.array([max(len(s), 1) for s in sets], dtype=np.int64)
-    flat = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-            for st in sets
-            for s in (st if st else ("",))
-        ),
-        dtype=np.uint64,
-        count=int(counts.sum()),
-    )
-    offsets = np.zeros(len(sets), dtype=np.int64)
+def _doc_shingle_md5_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened DISTINCT md5-prefix-64 shingle hashes + row offsets.
+    md5 (not crc32+mix) so the DuckDB oracle computes the IDENTICAL
+    feature hash: cast('0x' || substr(md5(s),1,16) as ubigint).  Empty
+    docs pad with one 0 hash (keeps reduceat offsets valid; yields
+    simhash 0, matching the oracle's coalesce).
+
+    Vectorized: Arrow whitespace split (byte-identical to the WS_RE
+    word model), shingle strings via one ``binary_join_element_wise``
+    over position-shifted word slices, md5 once per UNIQUE shingle
+    (dictionary encode — ~10:1 dedup on template-heavy corpora), and
+    a lexsort run-dedup for the per-doc distinct sets."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, (list, tuple)):
+        txt = pa.array([t or "" for t in texts], pa.string())
+    else:
+        txt = texts.combine_chunks() if isinstance(
+            texts, pa.ChunkedArray
+        ) else texts
+    n = len(txt)
+    if not n:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    wl = pc.ascii_split_whitespace(pc.fill_null(txt, ""))
+    if isinstance(wl, pa.ChunkedArray):
+        wl = wl.combine_chunks()
+    loff = wl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = int(loff[0])
+    vals = wl.values.slice(lo, int(loff[-1]) - lo)
+    keep = np.asarray(pc.binary_length(vals)) > 0
+    cum = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum(keep, out=cum[1:])
+    w_off = cum[loff - lo]
+    flat_words = vals.filter(pa.array(keep))
+    n_words = np.diff(w_off)
+
+    # shingle strings: 3-word windows for docs with >=3 words, the
+    # whole-doc join for 1-2-word docs
+    n_sh = np.where(n_words >= 3, n_words - 2, (n_words > 0).astype(np.int64))
+    sh_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=sh_off[1:])
+    parts = []
+    long_sel = np.flatnonzero(n_words >= 3)
+    if long_sel.size:
+        nw = n_words[long_sel] - 2
+        base = np.repeat(w_off[long_sel], nw)
+        tot = int(nw.sum())
+        within = np.arange(tot) - np.repeat(np.cumsum(nw) - nw, nw)
+        s = base + within
+        a = flat_words.take(pa.array(s))
+        b = flat_words.take(pa.array(s + 1))
+        c = flat_words.take(pa.array(s + 2))
+        parts.append((long_sel, nw, pc.binary_join_element_wise(a, b, c, " ")))
+    short_sel = np.flatnonzero((n_words > 0) & (n_words < 3))
+    if short_sel.size:
+        joined = pa.array(
+            [
+                " ".join(
+                    flat_words.slice(
+                        int(w_off[i]), int(n_words[i])
+                    ).to_pylist()
+                )
+                for i in short_sel
+            ],
+            pa.string(),
+        )
+        parts.append((short_sel, np.ones(short_sel.size, np.int64), joined))
+
+    # md5 once per UNIQUE shingle, scattered back
+    doc_of_parts, hash_parts = [], []
+    for sel, cnts, strs in parts:
+        d = pc.dictionary_encode(strs)
+        uniq = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for w in d.dictionary.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(d.dictionary),
+        )
+        hash_parts.append(uniq[d.indices.to_numpy(zero_copy_only=False)])
+        doc_of_parts.append(np.repeat(sel, cnts))
+    if hash_parts:
+        hs = np.concatenate(hash_parts)
+        doc_of = np.concatenate(doc_of_parts)
+        order = np.lexsort((hs, doc_of))
+        ds_, hs_ = doc_of[order], hs[order]
+        first = np.ones(hs_.size, dtype=bool)
+        first[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+        ds_u, hs_u = ds_[first], hs_[first]
+    else:
+        ds_u = np.zeros(0, dtype=np.int64)
+        hs_u = np.zeros(0, dtype=np.uint64)
+    counts = np.bincount(ds_u, minlength=n).astype(np.int64)
+    pad = counts == 0  # empty docs: one 0 hash
+    counts[pad] = 1
+    offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
-    # the pad for empty docs is hash 0, not md5("")
-    if flat.size:
-        empty = np.array([len(s) == 0 for s in sets])
-        if empty.any():
-            flat[offsets[empty]] = 0
+    flat = np.zeros(int(counts.sum()), dtype=np.uint64)
+    put = np.ones(len(flat), dtype=bool)
+    put[offsets[pad]] = False  # empty docs keep their single 0 pad
+    flat[put] = hs_u
     return flat, offsets
 
 
