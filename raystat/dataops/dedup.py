@@ -238,26 +238,31 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
-def _doc_shingle_arrays(texts: list) -> tuple[np.ndarray, np.ndarray]:
-    """Flattened shingle hashes + row offsets (for reduceat)."""
-    sets = [sorted(shingle_set(t)) for t in texts]
-    counts = np.array([max(len(s), 1) for s in sets], dtype=np.int64)
-    flat = np.concatenate(
-        [np.array(s if s else [0], dtype=np.int64) for s in sets]
-    ) if sets else np.zeros(0, dtype=np.int64)
-    offsets = np.zeros(len(sets), dtype=np.int64)
-    np.cumsum(counts[:-1], out=offsets[1:])
-    return flat, offsets
+def _doc_shingle_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened DISTINCT crc32 shingle hashes + row offsets (for
+    reduceat) — the shared vectorized shingle pipeline with the crc32
+    hash of ``shingle_set`` (one crc per UNIQUE shingle)."""
+    import zlib
+
+    def crc32_arr(words: list) -> np.ndarray:
+        return np.fromiter(
+            (zlib.crc32(w.encode()) for w in words),
+            dtype=np.uint64,
+            count=len(words),
+        )
+
+    flat, offsets = _doc_shingle_hash_arrays(texts, crc32_arr)
+    return flat.astype(np.int64), offsets
 
 
 def minhash_signatures_batch(batch: pa.Table, text_col: str = "text") -> np.ndarray:
     """(n_docs, 64) int64 minhash signatures, vectorized:
     perm hash = (a*h + b) mod p, min per doc via minimum.reduceat."""
-    texts = batch[text_col].to_pylist()
-    if not texts:
+    n_docs = batch.num_rows
+    if not n_docs:
         return np.zeros((0, _N_PERM), dtype=np.int64)
-    flat, offsets = _doc_shingle_arrays(texts)
-    sig = np.empty((len(texts), _N_PERM), dtype=np.int64)
+    flat, offsets = _doc_shingle_arrays(batch[text_col])
+    sig = np.empty((n_docs, _N_PERM), dtype=np.int64)
     flat_u = flat.astype(np.uint64)
     for j in range(_N_PERM):
         ph = (np.uint64(_PERM_A[j]) * flat_u + np.uint64(_PERM_B[j])) % np.uint64(
@@ -599,6 +604,27 @@ def _doc_shingle_md5_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
     over position-shifted word slices, md5 once per UNIQUE shingle
     (dictionary encode — ~10:1 dedup on template-heavy corpora), and
     a lexsort run-dedup for the per-doc distinct sets."""
+
+    def md5_64(words: list) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for w in words
+            ),
+            dtype=np.uint64,
+            count=len(words),
+        )
+
+    return _doc_shingle_hash_arrays(texts, md5_64)
+
+
+def _doc_shingle_hash_arrays(texts, hash_fn) -> tuple[np.ndarray, np.ndarray]:
+    """Shared vectorized shingle pipeline: Arrow split -> 3-word
+    shingle strings (one binary_join_element_wise over shifted word
+    slices; whole-doc join for 1-2-word docs) -> ``hash_fn`` once per
+    UNIQUE shingle (dictionary encode) -> per-doc DISTINCT hash runs.
+    Returns (flat uint64 hashes, per-doc offsets); empty docs pad one
+    0 hash."""
     import pyarrow.compute as pc
 
     if isinstance(texts, (list, tuple)):
@@ -625,9 +651,6 @@ def _doc_shingle_md5_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
 
     # shingle strings: 3-word windows for docs with >=3 words, the
     # whole-doc join for 1-2-word docs
-    n_sh = np.where(n_words >= 3, n_words - 2, (n_words > 0).astype(np.int64))
-    sh_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(n_sh, out=sh_off[1:])
     parts = []
     long_sel = np.flatnonzero(n_words >= 3)
     if long_sel.size:
@@ -655,18 +678,11 @@ def _doc_shingle_md5_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
         )
         parts.append((short_sel, np.ones(short_sel.size, np.int64), joined))
 
-    # md5 once per UNIQUE shingle, scattered back
+    # hash once per UNIQUE shingle, scattered back
     doc_of_parts, hash_parts = [], []
     for sel, cnts, strs in parts:
         d = pc.dictionary_encode(strs)
-        uniq = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                for w in d.dictionary.to_pylist()
-            ),
-            dtype=np.uint64,
-            count=len(d.dictionary),
-        )
+        uniq = hash_fn(d.dictionary.to_pylist())
         hash_parts.append(uniq[d.indices.to_numpy(zero_copy_only=False)])
         doc_of_parts.append(np.repeat(sel, cnts))
     if hash_parts:
