@@ -2304,6 +2304,120 @@ QUERIES.append(
 )
 
 
+def _bloom_build(hashes: "np.ndarray", n_bits: int, n_hash: int = 8):
+    """Bit array with ``n_hash`` derived probe positions per key —
+    positions from splitmix64 re-mixes of the key (deterministic, no
+    RNG).  Returns a packed uint64 array."""
+    import numpy as np
+
+    from raystat.dataops.pairs import splitmix64
+
+    words = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
+    h = hashes.astype(np.uint64)
+    for j in range(n_hash):
+        p = splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF)) % np.uint64(n_bits)
+        np.bitwise_or.at(words, (p >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (p & np.uint64(63)))
+    return words
+
+
+def _bloom_test(words: "np.ndarray", hashes: "np.ndarray", n_bits: int,
+                n_hash: int = 8) -> "np.ndarray":
+    import numpy as np
+
+    from raystat.dataops.pairs import splitmix64
+
+    h = hashes.astype(np.uint64)
+    hit = np.ones(h.size, dtype=bool)
+    for j in range(n_hash):
+        p = splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF)) % np.uint64(n_bits)
+        hit &= (
+            words[(p >> np.uint64(6)).astype(np.int64)]
+            >> (p & np.uint64(63)) & np.uint64(1)
+        ).astype(bool)
+    return hit
+
+
+def _q_decontaminate_bloom(sf_dir):
+    """Bloom-filter decontamination — the SCALE path of
+    decontaminate_documents: at 100 TB the exact benchmark 4-gram set
+    can outgrow a worker broadcast, a Bloom filter cannot (its size is
+    CHOSEN, here 128 bits/key ≈ FP 1e-9 per probe with 8 derived
+    probes — expected false hits ≪ 1 over the whole corpus, so the
+    result equals the exact oracle at test scale while the broadcast
+    stays fixed-size at any corpus).  Same two streaming passes and
+    the same vectorized distinct-4-gram kernel; the membership test is
+    8 gathers into the broadcast bitmap instead of a searchsorted into
+    the full set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from raystat.dataops.text import distinct_window_hashes_4
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = batch.filter(pa.array(ids % 100 == 0))
+        hs, _ = distinct_window_hashes_4(sub["text"])
+        return pa.table({"h4": pa.array(np.unique(hs), pa.int64())})
+
+    bench = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(bench_partial, batch_format="pyarrow")
+        .to_pandas()["h4"]
+        .to_numpy()
+    )
+    bench = np.unique(bench)
+    n_bits = max(int(bench.size) * 128, 1024)
+    bloom_ref = ray.put((_bloom_build(bench, n_bits), n_bits))
+
+    def score(batch: pa.Table) -> pa.Table:
+        words, nb = ray.get(bloom_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = batch.filter(pa.array(ids % 100 != 0))
+        sub_ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs, off = distinct_window_hashes_4(sub["text"])
+        n_hits = np.zeros(len(sub_ids), dtype=np.int64)
+        if hs.size:
+            hit = _bloom_test(words, hs, nb)
+            doc_of = np.repeat(np.arange(len(sub_ids)), np.diff(off))
+            n_hits = np.bincount(
+                doc_of[hit], minlength=len(sub_ids)
+            ).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(sub_ids), "n_hits": pa.array(n_hits)}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "decontaminate_bloom_documents",
+        _q_decontaminate_bloom,
+        # the EXACT membership oracle: a Bloom false positive at this
+        # sizing would fail the value compare — absence of FPs is
+        # verified, not assumed
+        f"""WITH w AS (SELECT doc_id, {SPLIT_WS} AS ws FROM documents),
+            h AS (SELECT doc_id, list_transform(ws, x ->
+                    cast(cast(('0x' || substr(md5(x),1,8)) as bigint) as hugeint)) AS hs
+                  FROM w),
+            g AS (SELECT doc_id,
+                    cast(unnest(list_distinct({_H4_SQL})) as bigint) AS h4
+                  FROM h WHERE len(hs) >= 4),
+            bench AS (SELECT DISTINCT h4 FROM g WHERE doc_id % 100 = 0),
+            hits AS (SELECT g.doc_id, count(*) AS n
+                     FROM g JOIN bench USING (h4)
+                     WHERE g.doc_id % 100 != 0 GROUP BY 1)
+            SELECT d.doc_id, coalesce(hits.n, 0) AS n_hits
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+            WHERE d.doc_id % 100 != 0""",
+    )
+)
+
+
 def _q_dup_ngram_spans(sf_dir):
     """Cross-corpus duplicated n-gram spans: per document, the number
     of its DISTINCT word-4-grams that also occur in at least one OTHER
