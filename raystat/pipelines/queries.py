@@ -4841,12 +4841,14 @@ _DRIVER_WINDOW = [
     "token_doc_freq",
     "correlation_lineitem",
     "rollup_token_stats",
-    # joins / CEP (5; streaming_funnel_users is the strictly-stronger
-    # CEP row — the same earliest-chain semantics through the streaming
-    # engine with a per-key oracle; batch funnel_events follows after)
+    # joins / CEP (5; streaming_funnel_users and
+    # streaming_asof_purchases are the strictly-stronger rows — the
+    # same semantics AND oracle as their batch twins, through the
+    # streaming engine; funnel_events / asof_purchase_events follow
+    # after)
     "customer_stats_by_region",
     "revenue_by_nation",
-    "asof_purchase_events",
+    "streaming_asof_purchases",
     "streaming_interval_join",
     "streaming_funnel_users",
 ]
