@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from typing import Callable
 
 from raystat.aggregate import grouped_moments, session_moments
+from raystat.dataops.pairs import splitmix64 as _splitmix64
 from raystat.extract import EVENT_TIME_SQL
 from raystat.windows import Hopping, Tumbling
 
@@ -2310,12 +2311,10 @@ def _bloom_build(hashes: "np.ndarray", n_bits: int, n_hash: int = 8):
     RNG).  Returns a packed uint64 array."""
     import numpy as np
 
-    from raystat.dataops.pairs import splitmix64
-
     words = np.zeros((n_bits + 63) // 64, dtype=np.uint64)
     h = hashes.astype(np.uint64)
     for j in range(n_hash):
-        p = splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF)) % np.uint64(n_bits)
+        p = _splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF)) % np.uint64(n_bits)
         np.bitwise_or.at(words, (p >> np.uint64(6)).astype(np.int64),
                          np.uint64(1) << (p & np.uint64(63)))
     return words
@@ -2325,12 +2324,10 @@ def _bloom_test(words: "np.ndarray", hashes: "np.ndarray", n_bits: int,
                 n_hash: int = 8) -> "np.ndarray":
     import numpy as np
 
-    from raystat.dataops.pairs import splitmix64
-
     h = hashes.astype(np.uint64)
     hit = np.ones(h.size, dtype=bool)
     for j in range(n_hash):
-        p = splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF)) % np.uint64(n_bits)
+        p = _splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF)) % np.uint64(n_bits)
         hit &= (
             words[(p >> np.uint64(6)).astype(np.int64)]
             >> (p & np.uint64(63)) & np.uint64(1)
