@@ -83,6 +83,51 @@ def _batch_topk(C: np.ndarray, ids: np.ndarray, k: int):
     return cols[keep].astype(np.int64), idv[keep].astype(np.int64), cosv[keep]
 
 
+def embedding_covariance(ds, vec_col: str = "embedding"):
+    """Population covariance matrix of the embedding distribution,
+    long-form upper triangle (i, j, cov) — the distributed
+    linear-algebra primitive under embedding-quality analysis
+    (anisotropy / effective-rank / whitening checks).
+
+    Mergeable Gram partials: each batch collapses to ONE row carrying
+    (n, Σx [d floats], X^T X [d² floats]) — the d×d second-moment
+    matrix sums associatively, so at 100 TB the driver combines
+    O(batches) fixed-size blobs (d=1k ⇒ 8 MB each) and the corpus
+    never shuffles.  cov = G/n − mean·meanᵀ."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _stack(batch[vec_col])
+        return pa.table(
+            {
+                "n": pa.array([X.shape[0]], pa.int64()),
+                "d": pa.array([X.shape[1]], pa.int64()),
+                "s": pa.array([X.sum(axis=0).tobytes()], pa.binary()),
+                "g": pa.array([(X.T @ X).tobytes()], pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    d = int(parts["d"].iloc[0])
+    n = int(parts["n"].sum())
+    s = np.zeros(d, dtype=np.float64)
+    g = np.zeros((d, d), dtype=np.float64)
+    for _, row in parts.iterrows():
+        s += np.frombuffer(row["s"], dtype=np.float64)
+        g += np.frombuffer(row["g"], dtype=np.float64).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    iu, ju = np.triu_indices(d)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"i": iu.astype(np.int64) + 1, "j": ju.astype(np.int64) + 1,
+         "cov": cov[iu, ju]}
+    )
+
+
 def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
     """Per-label mean embedding (class centroids), emitted long-form as
     (label, dim, mean).  Per-batch (label -> dim-wise sum, count)

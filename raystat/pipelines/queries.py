@@ -3739,6 +3739,28 @@ QUERIES.append(
 )
 
 
+def _q_embedding_covariance(sf_dir):
+    """Distributed covariance of the embedding distribution (upper
+    triangle, 1-based dims): one fixed-size Gram partial per batch —
+    see dataops.similarity.embedding_covariance."""
+    from raystat.dataops.similarity import embedding_covariance
+
+    return embedding_covariance(_read(sf_dir, "embeddings", ["embedding"]))
+
+
+QUERIES.append(
+    QueryDef(
+        "embedding_covariance",
+        _q_embedding_covariance,
+        """SELECT ti.i + 1 AS i, tj.j + 1 AS j,
+                  covar_pop(cast(embedding[ti.i + 1] as double),
+                            cast(embedding[tj.j + 1] as double)) AS cov
+           FROM embeddings, range(64) ti(i), range(64) tj(j)
+           WHERE ti.i <= tj.j GROUP BY 1, 2""",
+    )
+)
+
+
 def _q_rollup_token_stats(sf_dir):
     """Multi-granularity aggregates from ONE input pass: the finest
     (source, window) partial power sums are computed once; coarser
