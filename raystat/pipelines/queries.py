@@ -3666,6 +3666,111 @@ QUERIES.append(
 )
 
 
+def _q_pmi_bigrams(sf_dir):
+    """Top-20 token bigrams by pointwise mutual information (PMI) —
+    collocation mining, the info-theoretic step past raw bigram
+    counts (raw counts surface stopword pairs; PMI surfaces pairs
+    that co-occur MORE than their unigram frequencies predict).
+
+    One pass: per-batch partials carry BOTH the (bigram, n) hash-agg
+    rows and the bounded unigram bincount (|VOCAB| ints), so the
+    shuffle is distinct-bigrams + VOCAB rows per batch — row-count
+    independent; the driver joins the two count tables at
+    vocabulary size, never corpus size.  Min count 5 (the standard
+    PMI noise floor), ties by bigram id."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from raystat.pipelines.tokens import VOCAB, tokenize_documents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        if flat.size < 2:
+            return pa.table(
+                {"key": pa.array([], pa.int64()),
+                 "kind": pa.array([], pa.int8()),
+                 "n": pa.array([], pa.int64())}
+            )
+        same_doc = parents[1:] == parents[:-1]
+        big = flat[:-1][same_doc] * np.int64(VOCAB) + flat[1:][same_doc]
+        bu, bn = np.unique(big, return_counts=True)
+        un = np.bincount(flat, minlength=VOCAB)
+        usel = np.flatnonzero(un)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([bu, usel.astype(np.int64)])),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(bu.size, np.int8), np.ones(usel.size, np.int8)]
+                    )
+                ),
+                "n": pa.array(
+                    np.concatenate([bn.astype(np.int64), un[usel].astype(np.int64)])
+                ),
+            }
+        )
+
+    agg = (
+        tokenize_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["key", "kind"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    bi = agg[agg["kind"] == 0]
+    uni = agg[agg["kind"] == 1].set_index("key")["n"]
+    nb = float(bi["n"].sum())
+    nu = float(uni.sum())
+    bi = bi[bi["n"] >= 5].copy()
+    a = (bi["key"] // VOCAB).to_numpy()
+    b = (bi["key"] % VOCAB).to_numpy()
+    pa_ = uni.reindex(a).to_numpy(dtype=np.float64) / nu
+    pb_ = uni.reindex(b).to_numpy(dtype=np.float64) / nu
+    bi["pmi"] = np.log((bi["n"].to_numpy(dtype=np.float64) / nb) / (pa_ * pb_))
+    out = bi.sort_values(["pmi", "key"], ascending=[False, True]).head(20)
+    return pd.DataFrame(
+        {
+            "tok_a": (out["key"] // VOCAB).astype(np.int64),
+            "tok_b": (out["key"] % VOCAB).astype(np.int64),
+            "n": out["n"].astype(np.int64),
+            "pmi": out["pmi"].astype(np.float64),
+        }
+    ).reset_index(drop=True)
+
+
+QUERIES.append(
+    QueryDef(
+        "pmi_bigrams_documents",
+        _q_pmi_bigrams,
+        f"""WITH d AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+            f AS (SELECT unnest(list_transform(range(len(toks)-1),
+                    i -> toks[i+1] * 50257 + toks[i+2])) AS bigram
+                  FROM d),
+            u AS (SELECT unnest(toks) AS tok FROM d),
+            cb AS (SELECT cast(bigram AS bigint) AS bigram, count(*) AS n
+                   FROM f GROUP BY 1 HAVING count(*) >= 5),
+            cu AS (SELECT cast(tok AS bigint) AS tok, count(*) AS n
+                   FROM u GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM f)::double AS nb,
+                           (SELECT count(*) FROM u)::double AS nu)
+            SELECT cb.bigram // 50257 AS tok_a,
+                   cb.bigram % 50257 AS tok_b,
+                   cb.n,
+                   ln((cb.n / tot.nb)
+                      / ((ca.n / tot.nu) * (cc.n / tot.nu))) AS pmi
+            FROM cb, tot
+            JOIN cu ca ON ca.tok = cb.bigram // 50257
+            JOIN cu cc ON cc.tok = cb.bigram % 50257
+            ORDER BY pmi DESC, cb.bigram LIMIT 20""",
+    )
+)
+
+
 def _q_repetition(sf_dir):
     """Per-document repetition ratio (1 - distinct/total tokens) —
     the duplicate-content quality signal; distinctness computed over
