@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "pass --key doc_id)")
     p.add_argument("--value", default="user_id",
                    help="value/item column (sketch drivers) / event-type column (cep)")
+    p.add_argument("--text-col", default=None,
+                   help="document text column (dedup driver; REQUIRED for "
+                        "--driver dedup — dedup hashes text, never the "
+                        "sketch-oriented --value default)")
     p.add_argument("--ts-col", default="ts_us", help="event-time column, int64 us (sketch/cep)")
     p.add_argument("--stages", default="view,click,purchase",
                    help="cep: comma-separated ordered stage labels")
@@ -121,7 +125,7 @@ def _specialized_driver(args):
         from raystat.streaming.dedup import DedupStreamDriver
 
         return DedupStreamDriver(
-            args.input, args.out, text_col=args.value, id_col=args.key,
+            args.input, args.out, text_col=args.text_col, id_col=args.key,
             retention_epochs=args.retention,
             n_partitions=args.partitions, batch_size=args.batch_size,
         )
@@ -148,6 +152,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.input or not args.out:
         build_parser().error("--input and --out are required to run a stream")
+    if args.driver == "dedup" and args.text_col is None:
+        # fail fast BEFORE starting Ray: silently hashing the
+        # sketch-oriented --value default would dedup the wrong column
+        build_parser().error(
+            "--driver dedup requires --text-col (the document text column "
+            "to hash); --value is the sketch drivers' column"
+        )
     import ray
 
     if not ray.is_initialized():

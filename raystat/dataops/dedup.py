@@ -74,8 +74,40 @@ def _md5_64(texts: list) -> np.ndarray:
     ).astype(np.int64)
 
 
+_EMPTY_MD5_64 = int(
+    np.uint64(
+        int.from_bytes(hashlib.md5(b"").digest()[:8], "little")
+    ).astype(np.int64)
+)
+
+
+def _md5_64_col(col) -> np.ndarray:
+    """64-bit md5 prefix per row of an Arrow string column/chunked
+    array.  Hashes each DISTINCT text exactly once (a
+    ``dictionary_encode`` pre-pass — the trick tokens.py uses for
+    word-token ids), so duplicate/template-heavy batches collapse to
+    their unique texts before the per-text hashlib call.  Bit-identical
+    to mapping ``_md5_64`` over the rows (nulls hash as "")."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = pc.dictionary_encode(col)
+    uniq = _md5_64(d.dictionary.to_pylist())
+    idx = (
+        pc.fill_null(d.indices, -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if uniq.size == 0:  # all-null column
+        return np.full(len(idx), _EMPTY_MD5_64, dtype=np.int64)
+    out = uniq[np.maximum(idx, 0)]
+    out[idx < 0] = _EMPTY_MD5_64
+    return out
+
+
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    return batch.append_column("content_hash", pa.array(_md5_64(batch[text_col].to_pylist())))
+    return batch.append_column("content_hash", pa.array(_md5_64_col(batch[text_col])))
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", n_parts: int = 64):
@@ -93,7 +125,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", n_parts: int
 
     def hash_id(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = _md5_64(batch[text_col].to_pylist())
+        h = _md5_64_col(batch[text_col])
         return pa.table(
             {"content_hash": pa.array(h), "_id": pa.array(ids),
              "part": pa.array(bucket_partition(h, n_parts=n_parts))}
@@ -422,7 +454,7 @@ def exact_dup_pairs(
     pair in one vectorized sweep (capped like any LSH bucket)."""
     def hash_id(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = _md5_64(batch[text_col].to_pylist())
+        h = _md5_64_col(batch[text_col])
         return pa.table(
             {"content_hash": pa.array(h), "doc_id": pa.array(ids),
              "part": pa.array(bucket_partition(h, n_parts=n_parts))}

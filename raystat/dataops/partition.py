@@ -84,7 +84,7 @@ def range_partition_write(
         if os.path.exists(_bucket_manifest(out_dir, b))
     }
     if len(sealed) == n_buckets:  # fully sealed: resume is a no-op
-        return {b: m["rows"] for b, m in sealed.items()}
+        return {b: m["rows"] for b, m in sealed.items() if m["rows"]}
 
     bref = ray.put(np.asarray(boundaries, dtype=np.float64))
 
@@ -120,25 +120,34 @@ def range_partition_write(
                 if f.endswith(".parquet"):
                     rows += pq.read_metadata(os.path.join(dst, f)).num_rows
                     files += 1
+        # seal EMPTY buckets too (rows=0 manifest): otherwise a
+        # completed job with any empty bucket never reaches the
+        # fully-sealed fast path and every re-run rewrites the whole
+        # dataset to tmp.  Zero-row entries are filtered from the
+        # returned counts (and from bucket_counts) — sealing is a
+        # resume contract, not a data claim.
+        mpath = _bucket_manifest(out_dir, b)
+        with open(mpath + ".tmp", "w") as fh:
+            json.dump({"rows": rows, "files": files,
+                       "boundaries": list(map(float, boundaries))}, fh)
+        os.replace(mpath + ".tmp", mpath)
         if rows:
-            mpath = _bucket_manifest(out_dir, b)
-            with open(mpath + ".tmp", "w") as fh:
-                json.dump({"rows": rows, "files": files,
-                           "boundaries": list(map(float, boundaries))}, fh)
-            os.replace(mpath + ".tmp", mpath)
             out[b] = rows
     shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
 def bucket_counts(out_dir: str) -> list[tuple[int, int]]:
-    """(bucket, rows) per SEALED bucket, from the manifests (what a
-    resuming job or a monitoring query trusts — not directory
-    listings)."""
+    """(bucket, rows) per SEALED non-empty bucket, from the manifests
+    (what a resuming job or a monitoring query trusts — not directory
+    listings).  rows=0 seals exist purely for resume bookkeeping and
+    are skipped here."""
     mdir = os.path.join(out_dir, "_manifests")
     out = []
     for f in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
         if f.startswith("bucket-") and f.endswith(".json"):
             b = int(f[len("bucket-") : -len(".json")])
-            out.append((b, json.load(open(os.path.join(mdir, f)))["rows"]))
+            rows = json.load(open(os.path.join(mdir, f)))["rows"]
+            if rows:
+                out.append((b, rows))
     return out

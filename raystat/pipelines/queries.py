@@ -2207,6 +2207,35 @@ def _q_top_bigrams(sf_dir):
         agg = t.group_by(["source", "bigram"]).aggregate([([], "count_all")])
         return agg.rename_columns(["source", "bigram", "n"])
 
+    def prune(batch: pa.Table) -> pa.Table:
+        """Per-batch combiner AFTER the Sum aggregation: keep only the
+        top-10 rows per source per batch under the SAME total order
+        the finalizer uses ((n desc, bigram asc) — a total order, so
+        any global top-10 row survives its batch's prune).  Bounds the
+        ``map_groups`` finalize input to 10 x #batches rows per source
+        — no task ever sorts a full per-source bigram histogram."""
+        if batch.num_rows == 0:
+            return batch
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "bigram": batch["bigram"].to_pandas(),
+                "n": batch["n"].to_pandas(),
+            }
+        )
+        g = (
+            df.sort_values(
+                ["n", "bigram"], ascending=[False, True], kind="stable"
+            )
+            .groupby("source", sort=False)
+            .head(10)
+        )
+        assert (g.groupby("source").size() <= 10).all()
+        # drop the pandas schema metadata so Ray's block schemas unify
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["n", "bigram"], ascending=[False, True], ignore_index=True)
         out = g.head(10).copy()
@@ -2218,6 +2247,7 @@ def _q_top_bigrams(sf_dir):
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["source", "bigram"])
         .aggregate(Sum("n", alias_name="n"))
+        .map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("source")
         .map_groups(topk, batch_format="pandas")
     )
@@ -3672,16 +3702,27 @@ def _q_pmi_bigrams(sf_dir):
     counts (raw counts surface stopword pairs; PMI surfaces pairs
     that co-occur MORE than their unigram frequencies predict).
 
-    One pass: per-batch partials carry BOTH the (bigram, n) hash-agg
-    rows and the bounded unigram bincount (|VOCAB| ints), so the
-    shuffle is distinct-bigrams + VOCAB rows per batch — row-count
-    independent; the driver joins the two count tables at
-    vocabulary size, never corpus size.  Min count 5 (the standard
-    PMI noise floor), ties by bigram id."""
+    One corpus pass: per-batch partials carry BOTH the (bigram, n)
+    hash-agg rows and the bounded unigram bincount (|VOCAB| ints), so
+    the shuffle is distinct-bigrams + VOCAB rows per batch — row-count
+    independent.  The aggregated histogram is MATERIALIZED as a
+    distributed Dataset (O(distinct bigrams) rows in the object store,
+    never a driver frame) and consumed twice in bounded form:
+
+    1. head pass: unigram rows (globally ≤ |VOCAB|) plus ONE
+       bigram-total partial row per batch → the driver holds only the
+       VOCAB-sized unigram array and two scalars.
+    2. score pass: broadcast that array via ``ray.put``; per batch
+       filter kind==0 & n>=5, vectorized PMI, PARTIAL top-20 — the
+       driver merges O(20 x batches) rows (the BM25/ann_topk shape),
+       never the distinct-bigram histogram.
+
+    Min count 5 (the standard PMI noise floor), ties by bigram id."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
     from ray.data.aggregate import Sum
 
     from raystat.pipelines.tokens import VOCAB, tokenize_documents
@@ -3715,24 +3756,67 @@ def _q_pmi_bigrams(sf_dir):
             }
         )
 
+    # the aggregated (key, kind, n) histogram stays distributed: this
+    # materialize holds O(distinct bigrams) rows in the OBJECT STORE
+    # (spillable), never on the driver — it buys the two bounded
+    # consumptions below without re-running the corpus pass.
     agg = (
         tokenize_documents(sf_dir)
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["key", "kind"])
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .materialize()
     )
-    bi = agg[agg["kind"] == 0]
-    uni = agg[agg["kind"] == 1].set_index("key")["n"]
-    nb = float(bi["n"].sum())
-    nu = float(uni.sum())
-    bi = bi[bi["n"] >= 5].copy()
-    a = (bi["key"] // VOCAB).to_numpy()
-    b = (bi["key"] % VOCAB).to_numpy()
-    pa_ = uni.reindex(a).to_numpy(dtype=np.float64) / nu
-    pb_ = uni.reindex(b).to_numpy(dtype=np.float64) / nu
-    bi["pmi"] = np.log((bi["n"].to_numpy(dtype=np.float64) / nb) / (pa_ * pb_))
-    out = bi.sort_values(["pmi", "key"], ascending=[False, True]).head(20)
+
+    def head_partial(batch: pa.Table) -> pa.Table:
+        """Unigram rows pass through (globally ≤ VOCAB after the
+        groupby); bigram rows collapse to ONE total row (kind=2)."""
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = kind == 1
+        nb_part = int(n[kind == 0].sum())
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([key[u], [-1]])),
+                "kind": pa.array(
+                    np.concatenate([np.ones(int(u.sum()), np.int8), [2]])
+                ),
+                "n": pa.array(np.concatenate([n[u], [nb_part]])),
+            }
+        )
+
+    head = agg.map_batches(head_partial, batch_format="pyarrow").to_pandas()
+    uh = head[head["kind"] == 1]
+    un = np.zeros(VOCAB, dtype=np.float64)
+    un[uh["key"].to_numpy()] = uh["n"].to_numpy(dtype=np.float64)
+    nu = float(un.sum())
+    nb = float(head.loc[head["kind"] == 2, "n"].sum())
+    bcast = ray.put((un, nb, nu))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        q_un, q_nb, q_nu = ray.get(bcast)
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (kind == 0) & (n >= 5)
+        key, n = key[m], n[m]
+        a = key // VOCAB
+        b = key % VOCAB
+        pa_ = q_un[a] / q_nu
+        pb_ = q_un[b] / q_nu
+        pmi = np.log((n.astype(np.float64) / q_nb) / (pa_ * pb_))
+        top = np.lexsort((key, -pmi))[:20]
+        return pa.table(
+            {
+                "key": pa.array(key[top]),
+                "n": pa.array(n[top]),
+                "pmi": pa.array(pmi[top], pa.float64()),
+            }
+        )
+
+    part = agg.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = part.sort_values(["pmi", "key"], ascending=[False, True]).head(20)
     return pd.DataFrame(
         {
             "tok_a": (out["key"] // VOCAB).astype(np.int64),

@@ -209,14 +209,18 @@ class CepRouter:
     key-hash routing, and a bookkeeping row."""
 
     def __init__(self, actors: list, n_partitions: int, key: str, type_col: str,
-                 ts_col: str, stages: list, watermark_s: int):
+                 ts_col: str, stages: list, watermark_us: int):
         self.actors = actors
         self.P = n_partitions
         self.key = key
         self.type_col = type_col
         self.ts_col = ts_col
         self.stages = list(stages)
-        self.wm = int(watermark_s)
+        # microsecond watermark, like the interval/asof routers: the
+        # documented contract is "drops ts <= watermark", so an event
+        # with ts_us in (wm_s*1e6, (wm_s+1)*1e6) must be ADMITTED —
+        # second-granularity comparison would drop it.
+        self.wm = int(watermark_us)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows_in = batch.num_rows
@@ -228,7 +232,7 @@ class CepRouter:
             -1,
         ).to_numpy(zero_copy_only=False).astype(np.int64)
         is_stage = stage >= 0
-        keep = is_stage & ((ts_us // 1_000_000) > self.wm)
+        keep = is_stage & (ts_us > self.wm)
         late = int((is_stage & ~keep).sum())
         calls = 0
         idx = np.flatnonzero(keep)
@@ -308,7 +312,7 @@ class CepStreamDriver(EpochDriverBase):
         if ds is not None:
             router = CepRouter(
                 self.actors, self.n_partitions, self.key, self.type_col,
-                self.ts_col, self.stages, self.watermark_s,
+                self.ts_col, self.stages, self._wm_us(self.watermark_s),
             )
             kwargs = {"batch_format": "pyarrow", "max_retries": 0,
                       "zero_copy_batch": True}

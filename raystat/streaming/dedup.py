@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from raystat.dataops.dedup import _md5_64
+from raystat.dataops.dedup import _md5_64_col
 from raystat.streaming.epochs import EpochDriverBase
 from raystat.streaming.sink import ExactlyOnceParquetSink
 
@@ -168,7 +168,15 @@ class DedupStatePartition:
         )
         md = t.schema.metadata or {}
         if b"metrics" in md:
-            self.metrics = json.loads(md[b"metrics"].decode())
+            saved = json.loads(md[b"metrics"].decode())
+            # 'ingests' is the ingest-barrier counter: it must count calls
+            # since THIS restart only (the new driver resets its expected
+            # count to 0), or close_epoch could race ahead of in-flight
+            # routed batches after a crash/resume — matching
+            # IntervalJoinPartition.restore's contract.
+            self.metrics.update(
+                {k: v for k, v in saved.items() if k != "ingests"}
+            )
         return int(self.seen.size)
 
 
@@ -189,7 +197,7 @@ class DedupRouter:
         calls = 0
         local_dropped = 0
         if rows_in:
-            h = _md5_64(batch[self.text_col].to_pylist())
+            h = _md5_64_col(batch[self.text_col])
             d = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             # local combiner: min doc_id per hash inside the batch
             order = np.lexsort((d, h))

@@ -1487,3 +1487,66 @@ def test_window_hashes_vectorized_equals_scalar():
         assert flat[off[i]:off[i + 1]].tolist() == window_hashes_4(ws)
         assert d[doff[i]:doff[i + 1]].tolist() == sorted(set(window_hashes_4(ws)))
         assert int(fb["fingerprint"][i].as_py()) == _rolling_hash_tokens(ws)
+
+
+def test_md5_64_col_bit_identical():
+    """The dictionary-encode unique-text pre-pass must be bit-identical
+    to the per-row md5 fold on every shape: dups, empties, nulls,
+    chunked + large_string layouts, all-null columns."""
+    from raystat.dataops.dedup import _md5_64, _md5_64_col
+
+    texts = ["a", "b", "a", "", None, "hello world", "b", None, "a" * 500]
+    chunked = pa.chunked_array(
+        [pa.array(texts[:4], pa.string()), pa.array(texts[4:], pa.string())]
+    )
+    assert (_md5_64_col(chunked) == _md5_64(texts)).all()
+    assert (
+        _md5_64_col(pa.array(texts, pa.large_string())) == _md5_64(texts)
+    ).all()
+    allnull = pa.array([None, None, None], pa.string())
+    assert (_md5_64_col(allnull) == _md5_64([None] * 3)).all()
+    empty = pa.array([], pa.string())
+    assert _md5_64_col(empty).size == 0
+
+
+def test_range_partition_empty_bucket_sealed(ray_session):
+    """Empty buckets get rows=0 seal manifests so a COMPLETED run with
+    an empty bucket resumes as a true no-op; zero-row entries never
+    appear in the returned counts or bucket_counts."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from raystat.dataops.partition import bucket_counts, range_partition_write
+
+    n = 100
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "n_chars": pa.array(np.arange(n, dtype=np.int64))}
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    # values are 0..99: buckets [>=50, >=1000, >=2000] -> buckets 2, 3 empty
+    bounds = np.array([50.0, 1000.0, 2000.0])
+    root = tempfile.mkdtemp(prefix="rs_rpart_empty_")
+    out = os.path.join(root, "p")
+    try:
+        c1 = range_partition_write(ds, "n_chars", bounds, out)
+        assert c1 == {0: 50, 1: 50}
+        assert dict(bucket_counts(out)) == c1
+        # ALL four buckets sealed, incl. the two empty ones
+        assert len(glob.glob(os.path.join(out, "_manifests", "*.json"))) == 4
+        mt = {
+            f: os.path.getmtime(os.path.join(out, f))
+            for f in os.listdir(out) if f.startswith("bucket=")
+        }
+        # fully-sealed fast path despite the empty buckets: a no-op
+        c2 = range_partition_write(ds, "n_chars", bounds, out)
+        assert c2 == c1
+        assert not os.path.exists(out + ".tmp")
+        for f, m in mt.items():
+            assert os.path.getmtime(os.path.join(out, f)) == m
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

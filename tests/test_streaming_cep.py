@@ -265,3 +265,46 @@ def test_crash_resume_exactly_once(ray_session, stop_after):
     finally:
         shutil.rmtree(out_a, ignore_errors=True)
         shutil.rmtree(out_b, ignore_errors=True)
+
+
+def test_subsecond_events_above_watermark_admitted(ray_session):
+    """The router's late-drop is microsecond-granular: an event with
+    ts_us in (wm_s*1e6, (wm_s+1)*1e6) sits ABOVE the watermark and
+    must be admitted — the documented contract drops ts <= watermark
+    only (second-truncated comparison used to drop up to 1s of
+    in-lateness events)."""
+    root = tempfile.mkdtemp(prefix="rs_cep_fix_")
+    out = tempfile.mkdtemp(prefix="rs_cep_")
+    us = 1_000_000
+    try:
+        _write_stream(
+            root,
+            [
+                {  # epoch 0 drives wm to 10_000s (lateness 0)
+                    "u": pa.array([9], pa.int64()),
+                    "ts_us": pa.array([10_000 * us], pa.int64()),
+                    "et": pa.array(["view"]),
+                },
+                {  # 10_000.5s and 10_000.7s: above wm by <1s -> LIVE
+                    "u": pa.array([7, 7], pa.int64()),
+                    "ts_us": pa.array(
+                        [10_000 * us + 500_000, 10_000 * us + 700_000],
+                        pa.int64(),
+                    ),
+                    "et": pa.array(["view", "click"]),
+                },
+            ],
+        )
+        drv = CepStreamDriver(
+            root, out, key="u", type_col="et", ts_col="ts_us",
+            stages=STAGES, within_us=10 * us,
+            allowed_lateness_s=0, n_partitions=2,
+        )
+        m = drv.run()
+        got = _norm(drv.result_table())
+        assert got["key"].tolist() == [7, 9]
+        assert int(got.loc[got["key"] == 7, "stages_reached"].iloc[0]) == 2
+        assert m["epochs"]["1"]["late_dropped"] == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

@@ -163,3 +163,48 @@ def test_state_is_hashes_only_and_bounded(ray_session):
         assert sum(p["state_size"] for p in ml["epochs"]["final"]["state_metrics"]) == 50
     finally:
         shutil.rmtree(fix, ignore_errors=True)
+
+
+def test_restore_leaves_ingest_barrier_fresh(ray_session):
+    """restore() must NOT reload the checkpointed 'ingests' counter:
+    the resumed driver's ingest barrier compares the actors' counters
+    against calls submitted since restart, so a reloaded head start
+    would let close_epoch race ahead of in-flight routed batches
+    (the IntervalJoinPartition.restore contract).  Other metrics DO
+    carry over (winners/evictions stay cumulative)."""
+    import ray
+
+    from raystat.streaming.dedup import DedupStatePartition
+
+    ck = tempfile.mkdtemp(prefix="rs_sdedup_ck_")
+    try:
+        a = DedupStatePartition.remote(0, None)
+        t = pa.table(
+            {"content_hash": pa.array([11, 22], pa.int64()),
+             "doc_id": pa.array([1, 2], pa.int64())}
+        )
+        ray.get(a.ingest.remote(t))
+        ray.get(a.ingest.remote(t))
+        ray.get(a.close_epoch.remote(0))
+        assert ray.get(a.ingest_count.remote()) == 2
+        ray.get(a.snapshot.remote(ck, 0))
+
+        b = DedupStatePartition.remote(0, None)
+        assert ray.get(b.restore.remote(ck)) == 2  # 2 seen hashes
+        m = ray.get(b.get_metrics.remote())
+        assert m["ingests"] == 0, "barrier counter must start fresh"
+        assert m["winners"] == 2, "cumulative metrics must carry over"
+        assert m["state_size"] == 2
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_cli_dedup_requires_text_col():
+    """--driver dedup without --text-col fails fast instead of silently
+    hashing the sketch drivers' --value default column."""
+    import pytest
+
+    from raystat.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--driver", "dedup", "--input", "/tmp/x", "--out", "/tmp/y"])
