@@ -89,6 +89,7 @@ def _specialized_driver(args):
         return HllStreamDriver(
             args.input, args.out, key=args.key, value=args.value,
             ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
+            session_gap_s=args.session_gap,
             allowed_lateness_s=args.lateness, n_partitions=args.partitions,
             batch_size=args.batch_size,
         )

@@ -4563,6 +4563,122 @@ QUERIES.append(
 )
 
 
+_SESS_GAP_S = 7200
+
+
+def _q_streaming_distinct_sessions(sf_dir):
+    """STREAMING SESSION-windowed approximate COUNT DISTINCT
+    (streaming/sketch.py HllSessionStatePartition): completes the
+    window-mode x state-kind matrix at its cheapest cell — HLL
+    registers max-merge idempotently, so ksqlDB's SESSION
+    merge-overlapping-partials contract (the stated reason ``merge()``
+    exists) reduces to the moment path's gap-rule interval sweep with
+    ``maximum.reduceat``.  Verified two ways in one row: session
+    BOUNDARIES must equal the batch sessionization exactly (the inner
+    merge + the oracle's row count), and the estimate must sit within
+    5% of the exact per-session distinct.
+
+    Exact side is distributed: per-batch local dedup of
+    (event_type, ts_us, user_id) triples (the combiner — dedup cannot
+    move session breaks because breaks depend only on the DISTINCT
+    timestamp set), then one per-key sessionize ``map_groups`` —
+    the ksqlDB partitioning assumption (one key's sessions live in
+    one partition)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from raystat.streaming.sketch import HllStreamDriver, events_stream_fixture
+    from raystat.windows import ts_to_epoch_us
+
+    gap_us = _SESS_GAP_S * 1_000_000
+    fix = events_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_hllsess_q_")
+    try:
+        drv = HllStreamDriver(
+            fix, out, key="event_type", value="user_id", ts_col="ts_us",
+            session_gap_s=_SESS_GAP_S, allowed_lateness_s=200 * 3600,
+            n_partitions=8,
+        )
+        drv.run()
+        approx = drv.result_table().to_pandas().rename(
+            columns={"key": "event_type"}
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "ts_us": pa.array(ts_to_epoch_us(batch["ts"]), pa.int64()),
+                "user_id": batch["user_id"],
+            }
+        )
+        return t.group_by(["event_type", "ts_us", "user_id"]).aggregate([])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "user_id"], ignore_index=True)
+        ts = g["ts_us"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(brk) - 1
+        out = (
+            g.groupby(sid)
+            .agg(
+                session_start_us=("ts_us", "min"),
+                session_end_us=("ts_us", "max"),
+                n_distinct=("user_id", "nunique"),
+            )
+            .reset_index(drop=True)
+        )
+        out.insert(0, "event_type", g["event_type"].iloc[0])
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    exact = (
+        _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+        .map_batches(local_dedup, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+    )
+    m = pd.merge(
+        exact, approx, on=["event_type", "session_start_us", "session_end_us"]
+    )
+    m["within_5pct"] = (
+        (m["approx_distinct"] - m["n_distinct"]).abs() / m["n_distinct"] <= 0.05
+    )
+    return m[
+        ["event_type", "session_start_us", "session_end_us",
+         "n_distinct", "within_5pct"]
+    ]
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_distinct_sessions",
+        _q_streaming_distinct_sessions,
+        f"""WITH t AS (
+              SELECT event_type, user_id, epoch_us(ts) AS tu,
+                     lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS prev
+              FROM events
+            ), s AS (
+              SELECT *, sum(CASE WHEN prev IS NULL OR tu - prev > cast({_SESS_GAP_S} as bigint)*1000000
+                                 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY event_type ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sess
+              FROM t
+            )
+            SELECT event_type, min(tu) AS session_start_us, max(tu) AS session_end_us,
+                   count(DISTINCT user_id) AS n_distinct, true AS within_5pct
+            FROM s GROUP BY event_type, sess""",
+    )
+)
+
+
 def _q_streaming_top_users(sf_dir):
     """STREAMING windowed heavy hitters (streaming/sketch.py,
     MgStreamDriver): per-(event_type, 7-day window) top-5 user_ids by
@@ -5038,9 +5154,12 @@ _DRIVER_WINDOW = [
     "sample_documents",
     "pack_sequences",
     # sketches / quantiles / order statistics (6; the batch HLL gate
-    # shares its family row with the strictly-stronger streaming one)
-    "distinct_users_windowed",
+    # AND the exact-distinct operator (distinct_users_windowed) share
+    # their family rows with streaming_distinct_users, whose exact side
+    # runs grouped_exact_distinct and value-verifies it in-window; the
+    # session row completes the window-mode x state-kind matrix)
     "streaming_distinct_users",
+    "streaming_distinct_sessions",
     "kll_quantile_accuracy",
     "mg_top_tokens_by_source",
     "token_length_quantiles",

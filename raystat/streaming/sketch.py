@@ -275,12 +275,18 @@ class HllStreamDriver(EpochDriverBase):
     def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
                  value: str = "user_id", ts_col: str = "ts_us",
                  window_size_s: int = 86400, hop_s: int | None = None,
+                 session_gap_s: int | None = None,
                  allowed_lateness_s: int = 3600,
                  n_partitions: int = 8, batch_size: int | None = None):
         super().__init__(input_dir, out_dir)
         self.key = key
         self.value = value
         self.ts_col = ts_col
+        self.session_gap_s = (
+            int(session_gap_s) if session_gap_s is not None else None
+        )
+        if self.session_gap_s is not None and hop_s is not None:
+            raise ValueError("session_gap_s and hop_s are mutually exclusive")
         self.size_s = int(window_size_s)
         self.hop_s = int(hop_s) if hop_s is not None else self.size_s
         if self.size_s % self.hop_s:
@@ -293,10 +299,16 @@ class HllStreamDriver(EpochDriverBase):
 
     def _ensure_actors(self):
         if self.actors is None:
-            self.actors = [
-                HllStatePartition.remote(p, self.size_s)
-                for p in range(self.n_partitions)
-            ]
+            if self.session_gap_s is not None:
+                self.actors = [
+                    HllSessionStatePartition.remote(p, self.session_gap_s)
+                    for p in range(self.n_partitions)
+                ]
+            else:
+                self.actors = [
+                    HllStatePartition.remote(p, self.size_s)
+                    for p in range(self.n_partitions)
+                ]
 
     def _driver_state(self) -> dict:
         return {"watermark_s": self.watermark_s,
@@ -309,10 +321,16 @@ class HllStreamDriver(EpochDriverBase):
         ds = self._epoch_dataset(epoch)
         em = {"rows_in": 0, "late_dropped": 0, "max_ts_us": -1}
         if ds is not None:
-            router = HllRouter(
-                self.actors, self.n_partitions, self.key, self.value,
-                self.ts_col, self.size_s, self.hop_s, self.watermark_s,
-            )
+            if self.session_gap_s is not None:
+                router = HllSessionRouter(
+                    self.actors, self.n_partitions, self.key, self.value,
+                    self.ts_col, self.session_gap_s, self.watermark_s,
+                )
+            else:
+                router = HllRouter(
+                    self.actors, self.n_partitions, self.key, self.value,
+                    self.ts_col, self.size_s, self.hop_s, self.watermark_s,
+                )
             kwargs = {"batch_format": "pyarrow", "max_retries": 0,
                       "zero_copy_batch": True}
             if self.batch_size:
@@ -339,9 +357,14 @@ class HllStreamDriver(EpochDriverBase):
             )
             if t.num_rows
         ]
+        sort_by = (
+            ["key", "session_start_us"]
+            if self.session_gap_s is not None
+            else ["key", "window_start_s"]
+        )
         if tables:
             out = pa.concat_tables(tables)
-            self.sink.commit(epoch, out, sort_by=["key", "window_start_s"])
+            self.sink.commit(epoch, out, sort_by=sort_by)
         else:
             self.sink.commit(epoch, pa.table({}))
 
@@ -354,6 +377,257 @@ class HllStreamDriver(EpochDriverBase):
 
     def result_table(self) -> pa.Table:
         return self.sink.read_all()
+
+
+# -- HLL session windows -------------------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+class HllSessionStatePartition:
+    """SESSION-window HLL register state for one key-hash partition:
+    open session fragments ``(key, session_start_us, session_end_us)``
+    -> one M-byte register row.  ksqlDB's SESSION contract is why
+    ``merge()`` exists (overlapping partials must merge); HLL is the
+    IDEMPOTENT case of that contract — registers max-merge, so the
+    gap-rule interval merge is the moment path's
+    SessionStatePartition sweep (factorize keys, lexsort by
+    (key, start), grouped end-cummax, cluster breaks where
+    ``start - cummax(end) > gap``) with ``np.maximum.reduceat`` over
+    the stacked register matrix instead of ``add``."""
+
+    def __init__(self, pid: int, gap_s: int):
+        self.pid = pid
+        self.gap_us = int(gap_s) * 1_000_000
+        self.pending: list[pa.Table] = []
+        self.keys: pd.DataFrame | None = None  # key, start_us, end_us
+        self.regs: np.ndarray | None = None  # (n_sessions, M) uint8
+        self.error: str | None = None
+        self.metrics = {"partial_rows_in": 0, "ingests": 0, "sessions_closed": 0}
+
+    def ingest_count(self) -> int:
+        if self.error is not None:
+            raise RuntimeError(
+                f"hll-session partition {self.pid} ingest failed: {self.error}"
+            )
+        return self.metrics["ingests"]
+
+    def ingest(self, table: pa.Table) -> int:
+        try:
+            n = table.num_rows
+            if n:
+                self.pending.append(table)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:
+            self.error = repr(e)
+            n = 0
+        self.metrics["ingests"] += 1
+        return n
+
+    def _consolidate(self) -> None:
+        if not self.pending:
+            return
+        new = pa.concat_tables(self.pending)
+        self.pending = []
+        nk = new["key"].to_numpy(zero_copy_only=False)
+        ns = new["session_start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = new["session_end_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = np.frombuffer(
+            b"".join(new["regs"].to_pylist()), dtype=np.uint8
+        ).reshape(-1, _M)
+        if self.keys is not None and len(self.keys):
+            nk = np.concatenate([self.keys["key"].to_numpy(), nk])
+            ns = np.concatenate([self.keys["session_start_us"].to_numpy(), ns])
+            ne = np.concatenate([self.keys["session_end_us"].to_numpy(), ne])
+            nr = np.vstack([self.regs, nr])
+        codes, _ = pd.factorize(nk, sort=False)
+        order = np.lexsort((ns, codes))
+        c_s, s_s, e_s = codes[order], ns[order], ne[order]
+        cm = pd.Series(e_s).groupby(c_s).cummax().to_numpy()
+        n = c_s.size
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (c_s[1:] != c_s[:-1]) | (s_s[1:] - cm[:-1] > self.gap_us)
+        starts = np.flatnonzero(brk)
+        last = np.append(starts[1:], n) - 1
+        self.keys = pd.DataFrame(
+            {
+                "key": nk[order][starts],
+                "session_start_us": s_s[starts],
+                "session_end_us": cm[last].astype(np.int64),
+            }
+        )
+        self.regs = np.maximum.reduceat(nr[order], starts, axis=0)
+
+    def close_windows(self, watermark_s) -> pa.Table:
+        """Estimate + retire sessions that can no longer be extended:
+        end + gap <= watermark (any admissible future event has
+        ts > watermark, so it cannot merge into them)."""
+        self._consolidate()
+        if self.keys is None or not len(self.keys):
+            return pa.table(
+                {"key": pa.array([], pa.string()),
+                 "session_start_us": pa.array([], pa.int64()),
+                 "session_end_us": pa.array([], pa.int64()),
+                 "approx_distinct": pa.array([], pa.float64())}
+            )
+        wm_us = int(max(min(watermark_s * 1_000_000, 2**62), -(2**62)))
+        ends = self.keys["session_end_us"].to_numpy()
+        close = ends + self.gap_us <= wm_us
+        out_keys = self.keys[close]
+        est = [hll_estimate(r) for r in self.regs[close]]
+        self.metrics["sessions_closed"] += int(close.sum())
+        self.keys = self.keys[~close].reset_index(drop=True)
+        self.regs = self.regs[~close]
+        return pa.table(
+            {
+                "key": pa.array(out_keys["key"].tolist(), pa.string()),
+                "session_start_us": pa.array(
+                    out_keys["session_start_us"].to_numpy(), pa.int64()
+                ),
+                "session_end_us": pa.array(
+                    out_keys["session_end_us"].to_numpy(), pa.int64()
+                ),
+                "approx_distinct": pa.array(est, pa.float64()),
+            }
+        )
+
+    def get_metrics(self) -> dict:
+        self._consolidate()
+        return {
+            "partition": self.pid,
+            "open_sessions": 0 if self.keys is None else int(len(self.keys)),
+            **self.metrics,
+        }
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._consolidate()
+        path = os.path.join(ckpt_dir, f"hllsess-p{self.pid:04d}.parquet")
+        tmp = path + ".tmp"
+        if self.keys is None or not len(self.keys):
+            t = pa.table(
+                {"key": pa.array([], pa.string()),
+                 "session_start_us": pa.array([], pa.int64()),
+                 "session_end_us": pa.array([], pa.int64()),
+                 "regs": pa.array([], pa.binary())}
+            )
+        else:
+            t = pa.table(
+                {
+                    "key": pa.array(self.keys["key"].tolist(), pa.string()),
+                    "session_start_us": pa.array(
+                        self.keys["session_start_us"].to_numpy(), pa.int64()
+                    ),
+                    "session_end_us": pa.array(
+                        self.keys["session_end_us"].to_numpy(), pa.int64()
+                    ),
+                    "regs": pa.array(
+                        [r.tobytes() for r in self.regs], pa.binary()
+                    ),
+                }
+            )
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        """Rebuild state from the snapshot WITHOUT touching metrics
+        (the ingest barrier counts calls since restart)."""
+        path = os.path.join(ckpt_dir, f"hllsess-p{self.pid:04d}.parquet")
+        self.pending = []
+        self.keys = None
+        self.regs = None
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        if t.num_rows:
+            self.keys = pd.DataFrame(
+                {
+                    "key": t["key"].to_pylist(),
+                    "session_start_us": t["session_start_us"].to_numpy().astype(np.int64),
+                    "session_end_us": t["session_end_us"].to_numpy().astype(np.int64),
+                }
+            )
+            self.regs = np.frombuffer(
+                b"".join(t["regs"].to_pylist()), dtype=np.uint8
+            ).reshape(-1, _M).copy()
+        return t.num_rows
+
+
+class HllSessionRouter:
+    """Fused partial+route stage for session windows: within-batch
+    session FRAGMENTS per key (sort by (key, ts), split runs at gap —
+    the moment path's lexsort/segment machinery) with one flat
+    scatter-max register partial per fragment, then key-hash routing.
+    Late drop is microsecond-granular (ts_us > wm_us): an admissible
+    event could only extend a session that is still open."""
+
+    def __init__(self, actors: list, n_partitions: int, key: str, value: str,
+                 ts_col: str, gap_s: int, watermark_s: int):
+        self.actors = actors
+        self.P = n_partitions
+        self.key = key
+        self.value = value
+        self.ts_col = ts_col
+        self.gap_us = int(gap_s) * 1_000_000
+        self.wm_us = int(max(min(watermark_s * 1_000_000, 2**62), -(2**62)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_in = batch.num_rows
+        ts_us = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        max_ts = int(ts_us.max()) if rows_in else -1
+        live = ts_us > self.wm_us
+        late = int(rows_in - live.sum())
+        calls = 0
+        idx = np.flatnonzero(live)
+        if idx.size:
+            keys = batch[self.key].to_numpy(zero_copy_only=False)[idx]
+            vals = batch[self.value].to_numpy(zero_copy_only=False)[idx]
+            tv = ts_us[idx]
+            codes, uniq_keys = pd.factorize(keys, sort=False)
+            order = np.lexsort((tv, codes))
+            c_s, t_s = codes[order], tv[order]
+            n = c_s.size
+            brk = np.ones(n, dtype=bool)
+            brk[1:] = (c_s[1:] != c_s[:-1]) | ((t_s[1:] - t_s[:-1]) > self.gap_us)
+            starts = np.flatnonzero(brk)
+            seg = np.cumsum(brk) - 1
+            nseg = starts.size
+            regs = np.zeros(nseg * _M, dtype=np.uint8)
+            ridx, rho = _rho_and_idx(vals[order])
+            np.maximum.at(regs, seg * _M + ridx, rho)
+            ends = np.append(starts[1:], n) - 1
+            gk = np.asarray(uniq_keys)[c_s[starts]]
+            part = (_key_u64(gk) % np.uint64(self.P)).astype(np.int64)
+            po = np.argsort(part, kind="stable")
+            tbl = pa.table(
+                {
+                    "key": pa.array(gk[po].tolist(), pa.string()),
+                    "session_start_us": pa.array(t_s[starts][po], pa.int64()),
+                    "session_end_us": pa.array(t_s[ends][po], pa.int64()),
+                    "regs": pa.array(
+                        [
+                            regs[i * _M : (i + 1) * _M].tobytes()
+                            for i in po
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+            sp = part[po]
+            bounds = np.flatnonzero(np.diff(sp)) + 1
+            s_idx = np.concatenate(([0], bounds))
+            e_idx = np.concatenate((bounds, [sp.size]))
+            for s, e in zip(s_idx, e_idx):
+                self.actors[int(sp[s])].ingest.remote(tbl.slice(int(s), int(e - s)))
+                calls += 1
+        return pa.table(
+            {
+                "max_ts_us": pa.array([max_ts], pa.int64()),
+                "late_dropped": pa.array([late], pa.int64()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "ingest_calls": pa.array([calls], pa.int64()),
+            }
+        )
 
 
 # -- fixture ------------------------------------------------------------------

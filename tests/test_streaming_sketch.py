@@ -299,3 +299,136 @@ def test_streamed_hopping_equals_batch_registers(ray_session):
         pd.testing.assert_frame_equal(got, exp)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# -- HLL session windows -------------------------------------------------------
+
+GAP_S = 7200
+
+
+def _sess_expected(fix: str, gap_s: int) -> pd.DataFrame:
+    """Batch sessionization + per-session registers over ALL rows —
+    the streamed result must match exactly (boundaries AND registers:
+    max-merge makes the estimate order-independent)."""
+    fs = sorted(glob.glob(os.path.join(fix, "arrival=*", "*.parquet")))
+    df = pa.concat_tables([pq.read_table(f) for f in fs]).to_pandas()
+    rows = []
+    for k, g in df.groupby("event_type"):
+        g = g.sort_values("ts_us", ignore_index=True)
+        ts = g["ts_us"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_s * 1_000_000
+        sid = np.cumsum(brk) - 1
+        for s, gg in g.groupby(sid):
+            regs = np.zeros(_M, dtype=np.uint8)
+            idx, rho = _rho_and_idx(gg["user_id"].to_numpy())
+            np.maximum.at(regs, idx, rho)
+            rows.append(
+                {"key": k,
+                 "session_start_us": int(gg["ts_us"].min()),
+                 "session_end_us": int(gg["ts_us"].max()),
+                 "approx_distinct": hll_estimate(regs)}
+            )
+    return pd.DataFrame(rows).sort_values(
+        ["key", "session_start_us"], ignore_index=True
+    )
+
+
+def _sess_norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["key", "session_start_us"], ignore_index=True)[
+        ["key", "session_start_us", "session_end_us", "approx_distinct"]
+    ]
+
+
+def test_session_streamed_equals_batch(ray_session):
+    """Streamed session windows equal the batch sessionization exactly
+    — boundaries, estimates, and session count — even though fragments
+    of one session arrive across different epochs and must gap-merge
+    in actor state (ksqlDB's SESSION merge contract, idempotent case)."""
+    fix = events_stream_fixture(SF, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="rs_hllsess_")
+    try:
+        drv = HllStreamDriver(
+            fix, out, session_gap_s=GAP_S,
+            allowed_lateness_s=LATENESS, n_partitions=4,
+        )
+        m = drv.run()
+        got = _sess_norm(drv.result_table().to_pandas())
+        exp = _sess_expected(fix, GAP_S)
+        pd.testing.assert_frame_equal(got, exp)
+        assert len(got) > 5, "gap must split the fixture into many sessions"
+        # fragments really did merge across epochs: more sessions were
+        # opened than survive (strictly fewer final sessions than the
+        # per-epoch fragment count)
+        closed = sum(
+            x["sessions_closed"] for x in m["epochs"]["final"]["state_metrics"]
+        )
+        assert closed == len(got)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_session_gap_merge_across_epochs(ray_session):
+    """Two fragments of ONE session arriving in different epochs merge
+    into a single session row (never two); a fragment beyond the gap
+    opens a new session."""
+    root = tempfile.mkdtemp(prefix="rs_hllsess_fix_")
+    out = tempfile.mkdtemp(prefix="rs_hllsess_")
+    us = 1_000_000
+    try:
+        epochs = [
+            # epoch 0: key a rows at t=1000s, 2000s (one fragment)
+            {"event_type": pa.array(["a", "a"]),
+             "ts_us": pa.array([1000 * us, 2000 * us], pa.int64()),
+             "user_id": pa.array([1, 2], pa.int64())},
+            # epoch 1: t=2000s+gap (touches: extends), and t far away
+            {"event_type": pa.array(["a", "a"]),
+             "ts_us": pa.array(
+                 [(2000 + GAP_S) * us, (2000 + 10 * GAP_S) * us], pa.int64()
+             ),
+             "user_id": pa.array([2, 3], pa.int64())},
+        ]
+        for e, cols in enumerate(epochs):
+            d = os.path.join(root, f"arrival={e}")
+            os.makedirs(d)
+            pq.write_table(pa.table(cols), os.path.join(d, "part-0.parquet"))
+        drv = HllStreamDriver(
+            root, out, session_gap_s=GAP_S,
+            allowed_lateness_s=100 * GAP_S, n_partitions=2,
+        )
+        drv.run()
+        got = _sess_norm(drv.result_table().to_pandas())
+        assert got["session_start_us"].tolist() == [
+            1000 * us, (2000 + 10 * GAP_S) * us
+        ]
+        assert got["session_end_us"].tolist() == [
+            (2000 + GAP_S) * us, (2000 + 10 * GAP_S) * us
+        ]
+        # merged session saw users {1, 2}; linear counting at n<<m is
+        # near-exact (m*ln(m/zeros) ~ n + n^2/2m)
+        assert np.allclose(got["approx_distinct"], [2.0, 1.0], rtol=1e-3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_session_crash_resume_exactly_once(ray_session):
+    fix = events_stream_fixture(SF, n_epochs=4)
+    out1 = tempfile.mkdtemp(prefix="rs_hllsess_")
+    out2 = tempfile.mkdtemp(prefix="rs_hllsess_")
+    try:
+        kw = dict(session_gap_s=GAP_S, allowed_lateness_s=LATENESS,
+                  n_partitions=4)
+        ref = HllStreamDriver(fix, out1, **kw)
+        ref.run()
+        expected = _sess_norm(ref.result_table().to_pandas())
+
+        d1 = HllStreamDriver(fix, out2, **kw)
+        d1.run(stop_after_epoch=1)
+        d2 = HllStreamDriver(fix, out2, **kw)
+        d2.run(resume=True)
+        got = _sess_norm(d2.result_table().to_pandas())
+        pd.testing.assert_frame_equal(got, expected)
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
