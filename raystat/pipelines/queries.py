@@ -1228,14 +1228,16 @@ def _q_ann_topk_ivf(sf_dir):
 
 
 def _q_ann_ivf_pruned(sf_dir):
-    """The IVF SCALE path as a correctness gate: nprobe=4 of 8
+    """The IVF SCALE path as a correctness gate: nprobe=5 of 8
     centroids — the search READS only the probed partitions (partition
     pruning, the 100-TB shape) — with per-query recall vs the exact
-    full-probe twin computed Ray-side and gated at >= 0.45 (measured
-    min 0.5 on the gaussian driver embeddings at both sf0.001 and
-    sf0.01; everything is seeded and deterministic, so the boolean
-    gate is stable per sf and the driver's equality compare verifies
-    it)."""
+    full-probe twin computed Ray-side and gated at >= 0.45.  Measured
+    per-sf minima on the seeded gaussian driver embeddings: 0.8
+    (sf0.001), 0.6 (sf0.01), 0.7 (sf0.1) — nprobe=4 dipped to 0.4 at
+    sf0.1 once the 2000-vector corpus spread true neighbors across
+    more cells, the expected IVF recall/cost dial (round-5 sf0.1
+    catalog run); everything is deterministic, so the boolean gate is
+    stable per sf and the driver's equality compare verifies it."""
     import shutil
     import tempfile
 
@@ -1256,7 +1258,7 @@ def _q_ann_ivf_pruned(sf_dir):
         C = train_centroids(emb, n_centroids=8)
         ivf_index(emb, idx, C)
         exact = ann_topk_ivf(idx, C, Q, qids, k=10, nprobe=None)
-        pruned = ann_topk_ivf(idx, C, Q, qids, k=10, nprobe=4)
+        pruned = ann_topk_ivf(idx, C, Q, qids, k=10, nprobe=5)
         rows = []
         for q in qids:
             e = set(exact[exact["query_id"] == q]["neighbor_id"])
