@@ -486,12 +486,99 @@ def exact_dup_pairs(
 # -- exact n-gram Jaccard (prefix-filtered inverted index) ------------------
 
 
+def _ppjoin_filtered_pairs(
+    ids: np.ndarray,
+    sz: np.ndarray,
+    pos: np.ndarray,
+    starts: np.ndarray,
+    cap: int,
+    t: float,
+) -> pd.DataFrame:
+    """Candidate pairs within each posting-list segment of an
+    (id-sorted-within-segment) prefix index, with the PPJoin size and
+    positional filters applied AT GENERATION — both are exact-recall
+    preserving:
+
+    - size filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+      (inter <= min, union >= max).
+    - positional filter: at the SMALLEST common shingle of a matching
+      pair, every earlier shingle of either doc is non-common, so
+      overlap <= min(|A|-posA, |B|-posB); J >= t forces overlap >=
+      ceil(t/(1+t) * (|A|+|B|)) — the pair always survives via that
+      bucket, so the per-bucket filter + cross-bucket union keeps
+      recall exactly 1 (Xiao et al., PPJoin, WWW'08).
+
+    Buckets past ``cap`` sub-split exactly like
+    ``pairs.capped_bucket_pairs`` (same sentinel accounting)."""
+    ends = np.append(starts[1:], len(ids))
+    sizes = ends - starts
+    multi = np.nonzero(sizes >= 2)[0]
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)}
+    )
+    if not len(multi):
+        return empty
+    thr = t / (1.0 + t)
+
+    def filt(ia: np.ndarray, ib: np.ndarray, off: int) -> tuple:
+        sa, sb = sz[off + ia], sz[off + ib]
+        keep = np.minimum(sa, sb) >= t * np.maximum(sa, sb) - 1e-9
+        ia, ib = ia[keep], ib[keep]
+        sa, sb = sa[keep], sb[keep]
+        req = np.ceil(thr * (sa + sb) - 1e-9)
+        keep2 = (
+            np.minimum(sa - pos[off + ia], sb - pos[off + ib]) >= req
+        )
+        return ia[keep2] + off, ib[keep2] + off
+
+    out_a, out_b = [], []
+    for i in multi:
+        s, e = int(starts[i]), int(ends[i])
+        n = e - s
+        if n <= cap:
+            ia, ib = np.triu_indices(n, k=1)
+            ga, gb = filt(ia, ib, s)
+            out_a.append(ids[ga])
+            out_b.append(ids[gb])
+            continue
+        # overflow: sentinel row + sub-split (ids stay sorted in subs)
+        out_a.append(np.array([OVERFLOW_SENTINEL], dtype=np.int64))
+        out_b.append(np.array([n], dtype=np.int64))
+        nsub = -(-n // cap)
+        sub = (
+            splitmix64(ids[s:e].astype(np.uint64)) % np.uint64(nsub)
+        ).astype(np.int64)
+        order = np.argsort(sub, kind="stable")
+        sub_s = sub[order]
+        bnd = np.append(
+            np.nonzero(np.r_[True, sub_s[1:] != sub_s[:-1]])[0], n
+        )
+        for k in range(len(bnd) - 1):
+            m = bnd[k + 1] - bnd[k]
+            if m < 2:
+                continue
+            loc = order[bnd[k] : bnd[k + 1]]
+            ia, ib = np.triu_indices(m, k=1)
+            sa, sb = sz[s + loc[ia]], sz[s + loc[ib]]
+            # size filter only: the sub-split already forfeits the
+            # smallest-common-shingle guarantee for this bucket, so the
+            # positional filter would silently compound the (counted)
+            # cap loss instead of pruning provable non-matches.
+            keep = np.minimum(sa, sb) >= t * np.maximum(sa, sb) - 1e-9
+            ga, gb = loc[ia[keep]], loc[ib[keep]]
+            out_a.append(ids[s + ga])
+            out_b.append(ids[s + gb])
+    a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
 def ngram_jaccard_pairs(
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    bucket_cap: int = 512,
+    bucket_cap: int = 2048,
     metrics: dict | None = None,
     n_parts: int = 64,
 ) -> pd.DataFrame:
@@ -500,37 +587,107 @@ def ngram_jaccard_pairs(
     the probabilistic ones; same shingle model, text.WS_RE + k=3).
 
     Candidate generation is the prefix-filter principle (SSJoin /
-    All-Pairs / PPJoin): under a global shingle ordering (the md5-64
-    hash value), J(A,B) >= t implies the (|A| - ceil(t*|A|) + 1)-
-    prefix of A and the corresponding prefix of B share a shingle, so
-    ONLY those prefixes enter the inverted (shingle, doc_id) index —
-    ~(1-t) of the index rows of a full posting list, with candidate
-    recall EXACTLY 1 (the property LSH can't give; the only loss is
-    capped degenerate hot buckets, counted in ``metrics``).
+    All-Pairs / PPJoin): under a GLOBAL shingle ordering, J(A,B) >= t
+    implies the (|A| - ceil(t*|A|) + 1)-prefix of A and the
+    corresponding prefix of B share a shingle, so ONLY those prefixes
+    enter the inverted (shingle, doc_id) index — ~(1-t) of the index
+    rows of a full posting list, with candidate recall EXACTLY 1 (the
+    property LSH can't give).  The global order is the All-Pairs
+    df-ascending order in its cheap two-level form: a first
+    bounded-partial aggregation pass counts per-shingle document
+    frequency and collects the HOT set (df > bucket_cap — exactly the
+    shingles whose posting bucket would overflow), and the order is
+    then (is_hot, hash): rare shingles fill every prefix first, so
+    posting buckets are df-bounded <= bucket_cap BY CONSTRUCTION and
+    the cap fires only for docs whose whole shingle set is hot (the
+    degenerate all-template case, counted in ``metrics``).
 
-    Scale shape mirrors minhash_lsh_pairs: (hash, id)-only shuffle for
-    candidates (raw text never leaves its block), then the shared
-    co-partitioned distributed verify with a vectorized size-filter
-    prune (J >= t forces t*|B| <= |A| <= |B|/t) before the per-pair
-    exact intersections.  md5-prefix-64 shingle hashes, so the DuckDB
-    twin (NGRAM_JACCARD_SQL) computes the IDENTICAL jaccard value."""
+    Scale shape mirrors minhash_lsh_pairs: (hash, id, size, position)-
+    only shuffle for candidates (raw text never leaves its block), with
+    the PPJoin size + positional filters applied AT candidate
+    generation (exact-recall preserving under any consistent global
+    order, see ``_ppjoin_filtered_pairs``), then the shared
+    co-partitioned distributed verify: a vectorized size-filter
+    re-check followed by ONE lexsort-merge intersection sweep over the
+    whole partition's (pair, hash) rows — no per-pair Python.
+    md5-prefix-64 shingle hashes, so the DuckDB twin
+    (NGRAM_JACCARD_SQL) computes the IDENTICAL jaccard value.
+
+    The hot set is broadcast-sized (heavy-tail head: shingles with df
+    > bucket_cap — the same broadcast-shape assumption as the BM25 IDF
+    array) and ships once via ``ray.put``.  The default cap (2048,
+    ~2M candidate pairs per worst-case bucket before the filters) is
+    sized so that ordinary near-dup families (hundreds of docs) pair
+    exhaustively — at the 300k-doc probe scale this path finds the
+    FULL true pair set with zero overflow where cap=512 lost the
+    planted 600-doc template family's cross-sub-bucket pairs."""
+    import ray
+    from ray.data.aggregate import Sum
+
     tmin = float(threshold)
 
+    # -- pass 1: per-shingle document frequency -> the hot set --------
+    # Per-batch partials are the batch's DISTINCT (doc, shingle) counts
+    # collapsed to (shingle, n) — the shuffle is bounded by distinct
+    # shingles per batch; the df > bucket_cap filter runs INSIDE
+    # map_batches so the driver only ever holds the hot rows.
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        if not texts:
+            return pa.table(
+                {"shingle": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        flat, _ = _doc_shingle_md5_arrays(texts)
+        u, c = np.unique(flat.astype(np.int64), return_counts=True)
+        return pa.table({"shingle": pa.array(u), "n": pa.array(c)})
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch["n"], bucket_cap))
+
+    hot_df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(hot_only, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hot_sorted = (
+        np.sort(hot_df["shingle"].to_numpy().astype(np.int64))
+        if "shingle" in hot_df.columns
+        else np.array([], dtype=np.int64)  # empty blocks drop the schema
+    )
+    if metrics is not None:
+        metrics["hot_shingles"] = int(hot_sorted.size)
+    hot_ref = ray.put(hot_sorted)
+
+    # -- pass 2: prefix index under the (is_hot, hash) order ----------
     def prefix_index(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch[text_col].to_pylist()
         if not texts:
             return pa.table(
                 {"shingle": pa.array([], pa.int64()),
                  "doc_id": pa.array([], pa.int64()),
+                 "sz": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64()),
                  "part": pa.array([], pa.int64())}
             )
         flat, offsets = _doc_shingle_md5_arrays(texts)
-        h = flat.astype(np.int64)  # int64 view = the global order everywhere
+        h = flat.astype(np.int64)
         n = np.diff(np.append(offsets, len(h)))
-        # doc-major, hash-ascending layout for per-doc prefix slices
+        # doc-major, (is_hot, hash)-ascending layout: rare shingles
+        # first within each doc, so prefixes avoid hot buckets
+        loc = np.searchsorted(hot, h)
+        loc[loc == hot.size] = 0
+        is_hot = (
+            (hot[loc] == h) if hot.size else np.zeros(len(h), dtype=bool)
+        )
         doc_of = np.repeat(np.arange(len(n)), n)
-        order = np.lexsort((h, doc_of))
+        order = np.lexsort((h, is_hot, doc_of))
         hs = h[order]
         # prefix length |A| - ceil(t*|A|) + 1 (empty docs pad n=1 -> 1:
         # the 0-sentinel keeps empty-empty pairs, J=1, reachable)
@@ -542,13 +699,23 @@ def ngram_jaccard_pairs(
         did = np.repeat(ids, pl)
         return pa.table(
             {"shingle": pa.array(sh), "doc_id": pa.array(did),
+             # sz = |doc's distinct shingle set|, pos = the shingle's
+             # rank in the doc's (is_hot, hash)-sorted set — the
+             # PPJoin filters
+             "sz": pa.array(np.repeat(n, pl).astype(np.int64)),
+             "pos": pa.array(within.astype(np.int64)),
              "part": pa.array(bucket_partition(sh, n_parts=n_parts))}
         )
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["doc_id"].to_numpy().astype(np.int64)
         order, starts = sort_segments(ids, g["shingle"].to_numpy())
-        return segmented_capped_pairs(ids[order], starts, bucket_cap)
+        return _ppjoin_filtered_pairs(
+            ids[order],
+            g["sz"].to_numpy().astype(np.int64)[order],
+            g["pos"].to_numpy().astype(np.int64)[order],
+            starts, bucket_cap, tmin,
+        )
 
     cand = (
         ds.map_batches(prefix_index, batch_format="pyarrow")
@@ -565,42 +732,62 @@ def ngram_jaccard_pairs(
         return empty
 
     def payload_of(batch: pa.Table, rows: np.ndarray) -> list:
-        # payload = sorted unique md5-64 shingle hashes (TRUE set:
-        # empty docs get an empty array, so empty-empty verifies to 1)
+        # payload = hash-sorted distinct md5-64 shingle sets via the
+        # shared VECTORIZED shingle pipeline (Arrow split + md5 once
+        # per UNIQUE shingle) — the same arrays prefix_index indexed.
+        # Empty docs carry the single 0-sentinel hash (matching the
+        # index side), so empty-empty pairs still verify to J=1 and
+        # empty-vs-nonempty stays 0 (the 0 hash never collides).
         texts = batch.take(pa.array(rows))[text_col].to_pylist()
-        return [
-            np.sort(
-                np.fromiter(
-                    (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                     for s in st),
-                    dtype=np.uint64, count=len(st),
-                ).astype(np.int64)
-            )
-            for st in (_shingle_strings(t) for t in texts)
-        ]
+        if not texts:
+            return []
+        flat, offsets = _doc_shingle_md5_arrays(texts)
+        h = flat.astype(np.int64)
+        bounds = np.append(offsets, len(h))
+        return [h[bounds[i] : bounds[i + 1]] for i in range(len(texts))]
 
     def verify(prs: pd.DataFrame, lookup: dict) -> pd.DataFrame:
+        emptydf = pd.DataFrame(
+            {"doc_a": pd.Series(dtype=np.int64),
+             "doc_b": pd.Series(dtype=np.int64),
+             "jaccard": pd.Series(dtype=np.float64)}
+        )
         pa_ids = prs["doc_a"].to_numpy().astype(np.int64)
         pb_ids = prs["doc_b"].to_numpy().astype(np.int64)
-        na = np.array([lookup[int(a_)].size for a_ in pa_ids], dtype=np.int64)
-        nb = np.array([lookup[int(b_)].size for b_ in pb_ids], dtype=np.int64)
+        k = len(pa_ids)
+        arrs_a = [np.asarray(lookup[int(x)], dtype=np.int64) for x in pa_ids]
+        arrs_b = [np.asarray(lookup[int(x)], dtype=np.int64) for x in pb_ids]
+        na = np.fromiter((v.size for v in arrs_a), dtype=np.int64, count=k)
+        nb = np.fromiter((v.size for v in arrs_b), dtype=np.int64, count=k)
         # size filter: J >= t needs |A∩B| <= min to beat t * |A∪B| >= t * max
-        ok = np.minimum(na, nb) >= tmin * np.maximum(na, nb)
-        out_a, out_b, out_j = [], [], []
-        for i in np.nonzero(ok)[0]:
-            sa = lookup[int(pa_ids[i])]
-            sb = lookup[int(pb_ids[i])]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = inter / union if union else 1.0
-            if j >= tmin:
-                out_a.append(int(pa_ids[i]))
-                out_b.append(int(pb_ids[i]))
-                out_j.append(j)
+        ok = np.minimum(na, nb) >= tmin * np.maximum(na, nb) - 1e-9
+        idx = np.flatnonzero(ok)
+        if not idx.size:
+            return emptydf
+        la, lb = na[idx], nb[idx]
+        # ONE lexsort-merge intersection sweep over the partition's
+        # flattened (pair, hash) rows: within a pair each side is a
+        # distinct set, so equal-adjacent rows after the (pair, hash)
+        # sort are exactly the common elements — no per-pair Python.
+        m = idx.size
+        flat = np.concatenate(
+            [arrs_a[i] for i in idx] + [arrs_b[i] for i in idx]
+        )
+        pid = np.concatenate(
+            [np.repeat(np.arange(m), la), np.repeat(np.arange(m), lb)]
+        )
+        order = np.lexsort((flat, pid))
+        f, p = flat[order], pid[order]
+        eq = (f[1:] == f[:-1]) & (p[1:] == p[:-1])
+        inter = np.bincount(p[:-1][eq], minlength=m).astype(np.int64)
+        union = la + lb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = j >= tmin
+        sel = idx[keep]
         return pd.DataFrame(
-            {"doc_a": np.array(out_a, dtype=np.int64),
-             "doc_b": np.array(out_b, dtype=np.int64),
-             "jaccard": np.array(out_j, dtype=np.float64)}
+            {"doc_a": pa_ids[sel],
+             "doc_b": pb_ids[sel],
+             "jaccard": j[keep].astype(np.float64)}
         )
 
     out = verify_pairs_distributed(

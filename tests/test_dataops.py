@@ -211,6 +211,56 @@ def test_ngram_jaccard_contains_minhash_pairs(docs_ds):
         assert (int(a), int(b)) in exact_keys
 
 
+def test_ngram_jaccard_hot_shingle_order(ray_session):
+    """The df-ascending (is_hot, hash) prefix order: a boilerplate
+    3-gram shared by EVERY doc is detected as hot (df > bucket_cap)
+    and excluded from prefixes, so its posting bucket never forms —
+    zero overflow at a cap far below the corpus size — while the pair
+    set still EQUALS brute force (rare shingles carry the prefixes)."""
+    import ray.data as rd
+
+    from raystat.dataops.dedup import (
+        _shingle_strings,
+        jaccard,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    texts = []
+    for i in range(20):
+        uniq = " ".join(f"u{i}w{j}" for j in rng.integers(0, 10**6, size=10))
+        texts.append(f"common boilerplate header {uniq}")
+    texts.append(texts[0] + " onemore")  # planted near-dup of doc 0
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    t = 0.7
+    m = {}
+    got = ngram_jaccard_pairs(ds, threshold=t, metrics=m, bucket_cap=8)
+    assert m["hot_shingles"] > 0  # the shared header shingle is hot
+    assert m["overflow_buckets"] == 0  # ...so its bucket never forms
+    sets = {i: _shingle_strings(txt) for i, txt in enumerate(texts)}
+    want = {
+        (a, b): jaccard(sets[a], sets[b])
+        for a in sets
+        for b in sets
+        if a < b and jaccard(sets[a], sets[b]) >= t
+    }
+    assert (0, 20) in want  # the planted pair is actually above t
+    got_map = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+    }
+    assert set(got_map) == set(want)
+    for k, v in want.items():
+        assert abs(got_map[k] - v) < 1e-12
+
+
 def _emb_ds(ray_session, n=60, dim=16, seed=5):
     import ray.data as rd
 
