@@ -4960,6 +4960,131 @@ QUERIES.append(
 )
 
 
+def _q_streaming_session_quantiles(sf_dir):
+    """STREAMING SESSION-windowed approximate quantiles
+    (streaming/sketch.py KllSessionStatePartition): the
+    NON-IDEMPOTENT cell of the window-mode x state-kind matrix —
+    session fragments are disjoint event subsets, so KLL's
+    mass-conserving merge applies under the gap rule, with the
+    canonical fragment order (key, start, end, blob) making estimates
+    deterministic across runs and crash/resume.  Verified two ways in
+    one row: session BOUNDARIES must equal batch sessionization
+    exactly (inner merge + oracle row count), per-session n is exact,
+    and the p50/p90 estimates must land in the exact [p45,p55] /
+    [p85,p95] rank brackets.
+
+    Exact side is distributed: one per-key sessionize+quantile
+    ``map_groups`` over cent-quantized values (the ksqlDB partitioning
+    assumption — one key's sessions live in one partition)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from raystat.streaming.sketch import KllStreamDriver, events_stream_fixture
+    from raystat.windows import ts_to_epoch_us
+
+    gap_us = _SESS_GAP_S * 1_000_000
+    fix = events_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_kllsess_q_")
+    try:
+        drv = KllStreamDriver(
+            fix, out, key="event_type", value="value", ts_col="ts_us",
+            session_gap_s=_SESS_GAP_S, allowed_lateness_s=200 * 3600,
+            n_partitions=8,
+        )
+        drv.run()
+        est = drv.result_table().to_pandas().rename(
+            columns={"key": "event_type", "p50": "e50", "p90": "e90"}
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "ts_us": pa.array(ts_to_epoch_us(batch["ts"]), pa.int64()),
+                "v100": pa.array(
+                    np.rint(
+                        batch["value"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "v100"], ignore_index=True)
+        ts = g["ts_us"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(brk) - 1
+        rows = []
+        for s, gg in g.groupby(sid):
+            v = np.sort(gg["v100"].to_numpy())
+            r = {
+                "session_start_us": int(gg["ts_us"].min()),
+                "session_end_us": int(gg["ts_us"].max()),
+                "n": int(v.size),
+            }
+            for q in (0.45, 0.5, 0.55, 0.85, 0.9, 0.95):
+                r[f"q{int(q*100)}"] = (
+                    v[max(int(np.ceil(q * v.size)) - 1, 0)] / 100.0
+                )
+            rows.append(r)
+        outd = pd.DataFrame(rows)
+        outd.insert(0, "event_type", g["event_type"].iloc[0])
+        return outd
+
+    exact = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+    )
+    m = pd.merge(
+        exact, est, on=["event_type", "session_start_us", "session_end_us"]
+    )
+    m["p50_ok"] = (m["e50"] >= m["q45"]) & (m["e50"] <= m["q55"])
+    m["p90_ok"] = (m["e90"] >= m["q85"]) & (m["e90"] <= m["q95"])
+    out_df = m[
+        ["event_type", "session_start_us", "session_end_us",
+         "q50", "q90", "p50_ok", "p90_ok"]
+    ].copy()
+    out_df["n"] = m["n_x"].astype(np.int64)
+    return out_df.rename(columns={"q50": "p50", "q90": "p90"})[
+        ["event_type", "session_start_us", "session_end_us", "n",
+         "p50", "p90", "p50_ok", "p90_ok"]
+    ]
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_session_quantiles",
+        _q_streaming_session_quantiles,
+        f"""WITH t AS (
+              SELECT event_type, value, epoch_us(ts) AS tu,
+                     lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), value) AS prev
+              FROM events
+            ), s AS (
+              SELECT *, sum(CASE WHEN prev IS NULL OR tu - prev > cast({_SESS_GAP_S} as bigint)*1000000
+                                 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY event_type ORDER BY tu, value ROWS UNBOUNDED PRECEDING) AS sess
+              FROM t
+            )
+            SELECT event_type, min(tu) AS session_start_us, max(tu) AS session_end_us,
+                   count(*) AS n,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   true AS p50_ok, true AS p90_ok
+            FROM s GROUP BY event_type, sess""",
+    )
+)
+
+
 QUERIES.append(
     QueryDef(
         "streaming_distinct_users_hopping",

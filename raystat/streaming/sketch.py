@@ -896,6 +896,7 @@ class KllStreamDriver(EpochDriverBase):
     def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
                  value: str = "value", ts_col: str = "ts_us",
                  window_size_s: int = 86400, hop_s: int | None = None,
+                 session_gap_s: int | None = None,
                  allowed_lateness_s: int = 3600,
                  qs: tuple = (0.5, 0.9), names: tuple = ("p50", "p90"),
                  k: int = 200,
@@ -904,6 +905,11 @@ class KllStreamDriver(EpochDriverBase):
         self.key = key
         self.value = value
         self.ts_col = ts_col
+        self.session_gap_s = (
+            int(session_gap_s) if session_gap_s is not None else None
+        )
+        if self.session_gap_s is not None and hop_s is not None:
+            raise ValueError("session_gap_s and hop_s are mutually exclusive")
         self.size_s = int(window_size_s)
         self.hop_s = int(hop_s) if hop_s is not None else self.size_s
         if self.size_s % self.hop_s:
@@ -919,10 +925,16 @@ class KllStreamDriver(EpochDriverBase):
 
     def _ensure_actors(self):
         if self.actors is None:
-            self.actors = [
-                KllStatePartition.remote(p, self.size_s, self.k)
-                for p in range(self.n_partitions)
-            ]
+            if self.session_gap_s is not None:
+                self.actors = [
+                    KllSessionStatePartition.remote(p, self.session_gap_s, self.k)
+                    for p in range(self.n_partitions)
+                ]
+            else:
+                self.actors = [
+                    KllStatePartition.remote(p, self.size_s, self.k)
+                    for p in range(self.n_partitions)
+                ]
 
     def _driver_state(self) -> dict:
         return {"watermark_s": self.watermark_s,
@@ -935,10 +947,17 @@ class KllStreamDriver(EpochDriverBase):
         ds = self._epoch_dataset(epoch)
         em = {"rows_in": 0, "late_dropped": 0, "max_ts_us": -1}
         if ds is not None:
-            router = KllRouter(
-                self.actors, self.n_partitions, self.key, self.value,
-                self.ts_col, self.size_s, self.hop_s, self.watermark_s, self.k,
-            )
+            if self.session_gap_s is not None:
+                router = KllSessionRouter(
+                    self.actors, self.n_partitions, self.key, self.value,
+                    self.ts_col, self.session_gap_s, self.watermark_s, self.k,
+                )
+            else:
+                router = KllRouter(
+                    self.actors, self.n_partitions, self.key, self.value,
+                    self.ts_col, self.size_s, self.hop_s, self.watermark_s,
+                    self.k,
+                )
             kwargs = {"batch_format": "pyarrow", "max_retries": 0,
                       "zero_copy_batch": True}
             if self.batch_size:
@@ -968,9 +987,14 @@ class KllStreamDriver(EpochDriverBase):
             )
             if t.num_rows
         ]
+        sort_by = (
+            ["key", "session_start_us"]
+            if self.session_gap_s is not None
+            else ["key", "window_start_s"]
+        )
         if tables:
             out = pa.concat_tables(tables)
-            self.sink.commit(epoch, out, sort_by=["key", "window_start_s"])
+            self.sink.commit(epoch, out, sort_by=sort_by)
         else:
             self.sink.commit(epoch, pa.table({}))
 
@@ -983,6 +1007,270 @@ class KllStreamDriver(EpochDriverBase):
 
     def result_table(self) -> pa.Table:
         return self.sink.read_all()
+
+
+# -- KLL session windows --------------------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+class KllSessionStatePartition:
+    """SESSION-window KLL quantile state for one key-hash partition:
+    open session fragments (key, session_start_us, session_end_us) ->
+    one KLL sketch.  Unlike HLL (idempotent max-merge), KLL merges are
+    mass-conserving over DISJOINT fragments — session fragments are
+    disjoint event subsets by construction, so the gap-rule interval
+    merge is sound; determinism comes from the CANONICAL fragment
+    order (key, start, end, blob bytes) before merging, the same
+    contract KllStatePartition._consolidate uses, so crash/resume
+    replays reproduce identical estimates."""
+
+    def __init__(self, pid: int, gap_s: int, k: int):
+        self.pid = pid
+        self.gap_us = int(gap_s) * 1_000_000
+        self.k = int(k)
+        self.pending: list[pa.Table] = []
+        # aligned open-session state: row i of keys <-> sks[i]
+        self.keys: pd.DataFrame | None = None
+        self.sks: list[KLL] = []
+        self.error: str | None = None
+        self.metrics = {"partial_rows_in": 0, "ingests": 0, "sessions_closed": 0}
+
+    def ingest_count(self) -> int:
+        if self.error is not None:
+            raise RuntimeError(
+                f"kll-session partition {self.pid} ingest failed: {self.error}"
+            )
+        return self.metrics["ingests"]
+
+    def ingest(self, table: pa.Table) -> int:
+        try:
+            n = table.num_rows
+            if n:
+                self.pending.append(table)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:
+            self.error = repr(e)
+            n = 0
+        self.metrics["ingests"] += 1
+        return n
+
+    def _consolidate(self) -> None:
+        if not self.pending:
+            return
+        new = pa.concat_tables(self.pending)
+        self.pending = []
+        frags = list(
+            zip(
+                new["key"].to_pylist(),
+                (int(x) for x in new["session_start_us"].to_pylist()),
+                (int(x) for x in new["session_end_us"].to_pylist()),
+                new["sk"].to_pylist(),
+            )
+        )
+        if self.keys is not None and len(self.keys):
+            frags.extend(
+                zip(
+                    self.keys["key"].tolist(),
+                    (int(x) for x in self.keys["session_start_us"]),
+                    (int(x) for x in self.keys["session_end_us"]),
+                    (s.to_bytes() for s in self.sks),
+                )
+            )
+        # canonical order -> deterministic merges AND the gap sweep
+        frags.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+        out_k: list = []
+        out_s: list[int] = []
+        out_e: list[int] = []
+        out_sk: list[KLL] = []
+        for k_, s_, e_, b in frags:
+            if out_k and k_ == out_k[-1] and s_ - out_e[-1] <= self.gap_us:
+                out_e[-1] = max(out_e[-1], e_)
+                out_sk[-1].merge(KLL.from_bytes(b))
+            else:
+                out_k.append(k_)
+                out_s.append(s_)
+                out_e.append(e_)
+                out_sk.append(KLL.from_bytes(b))
+        self.keys = pd.DataFrame(
+            {"key": out_k, "session_start_us": out_s, "session_end_us": out_e}
+        )
+        self.sks = out_sk
+
+    def close_windows(self, watermark_s, qs: tuple, names: tuple) -> pa.Table:
+        """Estimate + retire sessions that can no longer be extended:
+        end + gap <= watermark."""
+        self._consolidate()
+        cols: dict[str, list] = {
+            "key": [], "session_start_us": [], "session_end_us": [], "n": []
+        }
+        for nm in names:
+            cols[nm] = []
+        if self.keys is not None and len(self.keys):
+            wm_us = int(max(min(watermark_s * 1_000_000, 2**62), -(2**62)))
+            ends = self.keys["session_end_us"].to_numpy()
+            close = ends + self.gap_us <= wm_us
+            keep_keys = self.keys[~close].reset_index(drop=True)
+            keep_sks = [s for s, c in zip(self.sks, close) if not c]
+            for i in np.flatnonzero(close):
+                sk = self.sks[i]
+                cols["key"].append(self.keys["key"].iloc[i])
+                cols["session_start_us"].append(
+                    int(self.keys["session_start_us"].iloc[i])
+                )
+                cols["session_end_us"].append(
+                    int(self.keys["session_end_us"].iloc[i])
+                )
+                cols["n"].append(sk.n)
+                for q, nm in zip(qs, names):
+                    cols[nm].append(sk.quantile(q))
+                self.metrics["sessions_closed"] += 1
+            self.keys = keep_keys
+            self.sks = keep_sks
+        return pa.table(
+            {
+                "key": pa.array(cols["key"], pa.string()),
+                "session_start_us": pa.array(cols["session_start_us"], pa.int64()),
+                "session_end_us": pa.array(cols["session_end_us"], pa.int64()),
+                "n": pa.array(cols["n"], pa.int64()),
+                **{nm: pa.array(cols[nm], pa.float64()) for nm in names},
+            }
+        )
+
+    def get_metrics(self) -> dict:
+        self._consolidate()
+        return {
+            "partition": self.pid,
+            "open_sessions": 0 if self.keys is None else int(len(self.keys)),
+            **self.metrics,
+        }
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._consolidate()
+        path = os.path.join(ckpt_dir, f"kllsess-p{self.pid:04d}.parquet")
+        tmp = path + ".tmp"
+        if self.keys is None or not len(self.keys):
+            t = pa.table(
+                {"key": pa.array([], pa.string()),
+                 "session_start_us": pa.array([], pa.int64()),
+                 "session_end_us": pa.array([], pa.int64()),
+                 "sk": pa.array([], pa.binary())}
+            )
+        else:
+            t = pa.table(
+                {
+                    "key": pa.array(self.keys["key"].tolist(), pa.string()),
+                    "session_start_us": pa.array(
+                        self.keys["session_start_us"].to_numpy(), pa.int64()
+                    ),
+                    "session_end_us": pa.array(
+                        self.keys["session_end_us"].to_numpy(), pa.int64()
+                    ),
+                    "sk": pa.array([s.to_bytes() for s in self.sks], pa.binary()),
+                }
+            )
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        """Rebuild state from the snapshot WITHOUT touching metrics
+        (the ingest barrier counts calls since restart)."""
+        path = os.path.join(ckpt_dir, f"kllsess-p{self.pid:04d}.parquet")
+        self.pending = []
+        self.keys = None
+        self.sks = []
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        if t.num_rows:
+            self.keys = pd.DataFrame(
+                {
+                    "key": t["key"].to_pylist(),
+                    "session_start_us": t["session_start_us"]
+                    .to_numpy()
+                    .astype(np.int64),
+                    "session_end_us": t["session_end_us"]
+                    .to_numpy()
+                    .astype(np.int64),
+                }
+            )
+            self.sks = [KLL.from_bytes(b) for b in t["sk"].to_pylist()]
+        return t.num_rows
+
+
+class KllSessionRouter:
+    """Fused partial+route stage for session-window quantiles:
+    within-batch session FRAGMENTS per key (sort by (key, ts), split
+    runs at gap — the HllSessionRouter sweep) with one KLL partial per
+    fragment, then key-hash routing.  Late drop is microsecond-granular
+    (ts_us > wm_us)."""
+
+    def __init__(self, actors: list, n_partitions: int, key: str, value: str,
+                 ts_col: str, gap_s: int, watermark_s: int, k: int):
+        self.actors = actors
+        self.P = n_partitions
+        self.key = key
+        self.value = value
+        self.ts_col = ts_col
+        self.gap_us = int(gap_s) * 1_000_000
+        self.wm_us = int(max(min(watermark_s * 1_000_000, 2**62), -(2**62)))
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_in = batch.num_rows
+        ts_us = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        max_ts = int(ts_us.max()) if rows_in else -1
+        live = ts_us > self.wm_us
+        late = int(rows_in - live.sum())
+        calls = 0
+        idx = np.flatnonzero(live)
+        if idx.size:
+            keys = batch[self.key].to_numpy(zero_copy_only=False)[idx]
+            vals = (
+                batch[self.value]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)[idx]
+            )
+            tv = ts_us[idx]
+            codes, uniq_keys = pd.factorize(keys, sort=False)
+            order = np.lexsort((tv, codes))
+            c_s, t_s, v_s = codes[order], tv[order], vals[order]
+            n = c_s.size
+            brk = np.ones(n, dtype=bool)
+            brk[1:] = (c_s[1:] != c_s[:-1]) | ((t_s[1:] - t_s[:-1]) > self.gap_us)
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], n)
+            blobs = [
+                KLL(self.k).add(v_s[s:e]).to_bytes()
+                for s, e in zip(starts, ends)
+            ]
+            gk = np.asarray(uniq_keys)[c_s[starts]]
+            part = (_key_u64(gk) % np.uint64(self.P)).astype(np.int64)
+            po = np.argsort(part, kind="stable")
+            tbl = pa.table(
+                {
+                    "key": pa.array(gk[po].tolist(), pa.string()),
+                    "session_start_us": pa.array(t_s[starts][po], pa.int64()),
+                    "session_end_us": pa.array(t_s[ends - 1][po], pa.int64()),
+                    "sk": pa.array([blobs[i] for i in po], pa.binary()),
+                }
+            )
+            sp = part[po]
+            bounds = np.flatnonzero(np.diff(sp)) + 1
+            s_idx = np.concatenate(([0], bounds))
+            e_idx = np.concatenate((bounds, [sp.size]))
+            for s, e in zip(s_idx, e_idx):
+                self.actors[int(sp[s])].ingest.remote(tbl.slice(int(s), int(e - s)))
+                calls += 1
+        return pa.table(
+            {
+                "max_ts_us": pa.array([max_ts], pa.int64()),
+                "late_dropped": pa.array([late], pa.int64()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "ingest_calls": pa.array([calls], pa.int64()),
+            }
+        )
 
 
 # -- Misra-Gries heavy hitters -------------------------------------------------
