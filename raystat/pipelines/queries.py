@@ -4771,6 +4771,81 @@ QUERIES.append(
 )
 
 
+def _q_streaming_session_top_users(sf_dir):
+    """STREAMING SESSION-windowed heavy hitters (streaming/sketch.py
+    MgSessionStatePartition): per-(event_type, gap-rule session) top-5
+    user_ids through Misra-Gries-bounded session state — fragment
+    counts are exact partials over disjoint event subsets, so the
+    gap-rule cluster merge is a plain integer sum by item with at most
+    one MG reduction per over-capacity session; subtracted mass is
+    carried per session in ``mg_deficit`` (summed when sessions merge).
+    Completes the window-mode x state-kind matrix: with HLL and KLL
+    sessions this makes all three sketch kinds tumbling+session capable.
+    At capacity 8192 no reduction fires at test scales, so counts are
+    EXACT and the per-row ``lossless`` gate pins that in the oracle
+    compare; session BOUNDARIES must equal batch sessionization exactly
+    (inner oracle row-count match)."""
+    import shutil
+    import tempfile
+
+    from raystat.streaming.sketch import MgStreamDriver, events_stream_fixture
+
+    fix = events_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_mgsess_q_")
+    try:
+        drv = MgStreamDriver(
+            fix, out, key="event_type", item="user_id", ts_col="ts_us",
+            session_gap_s=_SESS_GAP_S, allowed_lateness_s=200 * 3600,
+            capacity=8192, top=5, n_partitions=8,
+        )
+        drv.run()
+        t = drv.result_table().to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    t["lossless"] = t["mg_deficit"] == 0
+    t = t.rename(columns={"key": "event_type", "item": "user_id"})
+    return t[
+        ["event_type", "session_start_us", "session_end_us",
+         "user_id", "n", "rank", "lossless"]
+    ]
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_session_top_users",
+        _q_streaming_session_top_users,
+        f"""WITH t AS (
+              SELECT event_type, user_id, epoch_us(ts) AS tu,
+                     lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), user_id) AS prev
+              FROM events
+            ), s AS (
+              SELECT *, sum(CASE WHEN prev IS NULL OR tu - prev > cast({_SESS_GAP_S} as bigint)*1000000
+                                 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY event_type ORDER BY tu, user_id ROWS UNBOUNDED PRECEDING) AS sess
+              FROM t
+            ), c AS (
+              SELECT event_type, sess, min(tu) AS session_start_us,
+                     max(tu) AS session_end_us, user_id, count(*) AS n
+              FROM s GROUP BY event_type, sess, user_id
+            ), b AS (
+              SELECT event_type, sess, min(session_start_us) AS session_start_us,
+                     max(session_end_us) AS session_end_us
+              FROM c GROUP BY event_type, sess
+            ), r AS (
+              SELECT c.event_type, b.session_start_us, b.session_end_us,
+                     c.user_id, c.n,
+                     row_number() OVER (
+                         PARTITION BY c.event_type, c.sess
+                         ORDER BY c.n DESC, c.user_id ASC) AS rank
+              FROM c JOIN b ON c.event_type = b.event_type AND c.sess = b.sess
+            )
+            SELECT event_type, session_start_us, session_end_us,
+                   user_id, n, rank, true AS lossless
+            FROM r WHERE rank <= 5""",
+    )
+)
+
+
 def _q_streaming_distinct_hopping(sf_dir):
     """The streaming HLL distinct count over HOPPING windows (size 2
     days, hop 1 day): every row's register partial feeds BOTH covering

@@ -1510,6 +1510,321 @@ class MgRouter:
         )
 
 
+# -- Misra-Gries session windows -------------------------------------------
+
+
+@ray.remote(num_cpus=0)
+class MgSessionStatePartition:
+    """SESSION-window Misra-Gries heavy-hitter state for one key-hash
+    partition: open session fragments (key, session_start_us,
+    session_end_us) -> one MG summary of item counts.  Fragment counts
+    are exact partials over disjoint event subsets, so the gap-rule
+    cluster merge is a plain integer sum by item followed by at most
+    one MG reduction per over-capacity cluster — order-insensitive
+    WITHIN a consolidation (sums commute; the reduction sees only the
+    summed multiset), and epoch-sequenced across consolidations, so
+    crash/resume replays reproduce identical summaries.  Subtracted
+    mass lands in the per-session ``deficit`` (summed when sessions
+    merge), keeping lossless operation observable, never assumed."""
+
+    def __init__(self, pid: int, gap_s: int, capacity: int):
+        self.pid = pid
+        self.gap_us = int(gap_s) * 1_000_000
+        self.capacity = int(capacity)
+        self.pending: list[pa.Table] = []
+        # per-open-session item rows + per-session deficit, aligned on
+        # (key, session_start_us, session_end_us)
+        self.state: pd.DataFrame | None = None
+        self.deficits: pd.DataFrame | None = None
+        self.error: str | None = None
+        self.metrics = {"partial_rows_in": 0, "ingests": 0,
+                        "sessions_closed": 0, "prunes": 0}
+
+    def ingest_count(self) -> int:
+        if self.error is not None:
+            raise RuntimeError(
+                f"mg-session partition {self.pid} ingest failed: {self.error}"
+            )
+        return self.metrics["ingests"]
+
+    def ingest(self, table: pa.Table) -> int:
+        try:
+            n = table.num_rows
+            if n:
+                self.pending.append(table)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:
+            self.error = repr(e)
+            n = 0
+        self.metrics["ingests"] += 1
+        return n
+
+    def _consolidate(self) -> None:
+        if not self.pending:
+            return
+        new = pa.concat_tables(self.pending).to_pandas()
+        self.pending = []
+        new["deficit"] = np.int64(0)  # fragment partials are exact
+        frames = [new]
+        if self.state is not None and len(self.state):
+            st = self.state.merge(
+                self.deficits, on=["key", "session_start_us", "session_end_us"],
+                how="left",
+            )
+            st["deficit"] = st["deficit"].fillna(0).astype(np.int64)
+            frames.append(st)
+        rows = pd.concat(frames, ignore_index=True)
+        # gap-rule cluster sweep over the distinct fragment intervals
+        iv = (
+            rows[["key", "session_start_us", "session_end_us"]]
+            .drop_duplicates(ignore_index=True)
+            .sort_values(["key", "session_start_us", "session_end_us"],
+                         ignore_index=True)
+        )
+        codes, _ = pd.factorize(iv["key"], sort=False)
+        s = iv["session_start_us"].to_numpy()
+        e = iv["session_end_us"].to_numpy()
+        cm = pd.Series(e).groupby(codes).cummax().to_numpy()
+        brk = np.ones(len(iv), dtype=bool)
+        brk[1:] = (codes[1:] != codes[:-1]) | (s[1:] - cm[:-1] > self.gap_us)
+        cl = np.cumsum(brk) - 1
+        iv["cl"] = cl
+        # merged bounds per cluster
+        bounds = iv.groupby("cl").agg(
+            key=("key", "first"),
+            session_start_us=("session_start_us", "min"),
+            session_end_us=("session_end_us", "max"),
+        )
+        rows = rows.merge(
+            iv, on=["key", "session_start_us", "session_end_us"], how="left"
+        )
+        # deficit per row counts ONCE per source session: rows of one
+        # state session share its deficit, so collapse to the interval
+        # level first (max: a zero-deficit new fragment may share an
+        # identical interval with a state session) before summing
+        dtab = (
+            rows.groupby(
+                ["cl", "key", "session_start_us", "session_end_us"], sort=False
+            )["deficit"]
+            .max()
+            .groupby("cl")
+            .sum()
+        )
+        summed = (
+            rows.groupby(["cl", "item"], sort=False)["n"].sum().reset_index()
+        )
+        # MG reduction only for over-capacity clusters
+        sizes = summed.groupby("cl", sort=False)["item"].transform("size")
+        over = sizes > self.capacity - 1
+        extra: dict[int, int] = {}
+        if over.any():
+            keep = summed[~over]
+            pruned = []
+            for c, g in summed[over].groupby("cl", sort=False):
+                cnt = g.set_index("item")["n"]
+                before = int(cnt.sum())
+                cnt = mg_merge(cnt, self.capacity)
+                extra[int(c)] = before - int(cnt.sum())
+                self.metrics["prunes"] += 1
+                d = cnt.reset_index()
+                d["cl"] = int(c)
+                pruned.append(d[["cl", "item", "n"]])
+            summed = pd.concat([keep] + pruned, ignore_index=True)
+        summed = summed.merge(bounds, left_on="cl", right_index=True)
+        self.state = summed[
+            ["key", "session_start_us", "session_end_us", "item", "n"]
+        ].astype(
+            {"session_start_us": np.int64, "session_end_us": np.int64,
+             "item": np.int64, "n": np.int64}
+        )
+        dd = bounds.copy()
+        dd["deficit"] = (
+            dtab.reindex(bounds.index).fillna(0).astype(np.int64)
+            + pd.Series(extra, dtype=np.int64)
+            .reindex(bounds.index)
+            .fillna(0)
+            .astype(np.int64)
+        )
+        self.deficits = dd.reset_index(drop=True)[
+            ["key", "session_start_us", "session_end_us", "deficit"]
+        ]
+
+    def close_windows(self, watermark_s, top: int) -> pa.Table:
+        """Top-``top`` items (count desc, item asc) per retired session
+        (end + gap <= watermark), with the session's residual deficit
+        on every row."""
+        self._consolidate()
+        empty = pa.table(
+            {"key": pa.array([], pa.string()),
+             "session_start_us": pa.array([], pa.int64()),
+             "session_end_us": pa.array([], pa.int64()),
+             "item": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()),
+             "mg_deficit": pa.array([], pa.int64())}
+        )
+        if self.state is None or not len(self.state):
+            return empty
+        wm_us = int(max(min(watermark_s * 1_000_000, 2**62), -(2**62)))
+        ends = self.state["session_end_us"].to_numpy()
+        close = ends + self.gap_us <= wm_us
+        if not close.any():
+            return empty
+        closed = self.state[close]
+        self.state = self.state[~close].reset_index(drop=True)
+        dkey = ["key", "session_start_us", "session_end_us"]
+        dclose = self.deficits.merge(closed[dkey].drop_duplicates(), on=dkey)
+        self.deficits = (
+            self.deficits.merge(dclose[dkey], on=dkey, how="left", indicator=True)
+            .query("_merge == 'left_only'")
+            .drop(columns="_merge")
+            .reset_index(drop=True)
+        )
+        out = closed.sort_values(
+            dkey + ["n", "item"],
+            ascending=[True, True, True, False, True],
+            ignore_index=True,
+        )
+        grp = out.groupby(dkey, sort=False)
+        out["rank"] = grp.cumcount() + 1
+        out = out[out["rank"] <= top].reset_index(drop=True)
+        out = out.merge(dclose.rename(columns={"deficit": "mg_deficit"}), on=dkey)
+        self.metrics["sessions_closed"] += int(len(dclose))
+        return pa.Table.from_pandas(out, preserve_index=False).cast(empty.schema)
+
+    def get_metrics(self) -> dict:
+        self._consolidate()
+        return {
+            "partition": self.pid,
+            "open_sessions": 0 if self.deficits is None else int(len(self.deficits)),
+            **self.metrics,
+            "deficit_total": (
+                0 if self.deficits is None
+                else int(self.deficits["deficit"].sum())
+            ),
+        }
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._consolidate()
+        path = os.path.join(ckpt_dir, f"mgsess-p{self.pid:04d}.parquet")
+        df = self.state if self.state is not None else pd.DataFrame(
+            {"key": pd.Series(dtype=object),
+             "session_start_us": pd.Series(dtype=np.int64),
+             "session_end_us": pd.Series(dtype=np.int64),
+             "item": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64)}
+        )
+        dd = self.deficits if self.deficits is not None else pd.DataFrame(
+            {"key": pd.Series(dtype=object),
+             "session_start_us": pd.Series(dtype=np.int64),
+             "session_end_us": pd.Series(dtype=np.int64),
+             "deficit": pd.Series(dtype=np.int64)}
+        )
+        for p, tbl in (
+            (path, pa.Table.from_pandas(df, preserve_index=False)),
+            (path.replace(".parquet", ".def.parquet"),
+             pa.Table.from_pandas(dd, preserve_index=False)),
+        ):
+            tmp = p + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, p)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        path = os.path.join(ckpt_dir, f"mgsess-p{self.pid:04d}.parquet")
+        self.pending = []
+        self.state = None
+        self.deficits = None
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        if t.num_rows:
+            self.state = t.to_pandas()
+        dp = path.replace(".parquet", ".def.parquet")
+        if os.path.exists(dp):
+            d = pq.read_table(dp).to_pandas()
+            if len(d):
+                self.deficits = d
+        return t.num_rows
+
+
+class MgSessionRouter:
+    """Fused partial+route stage for session-window heavy hitters:
+    within-batch session FRAGMENTS per key (the HllSessionRouter
+    sweep), then exact per-(fragment, item) counts via one factorize +
+    bincount, key-hash routed.  Late drop is microsecond-granular."""
+
+    def __init__(self, actors: list, n_partitions: int, key: str, item: str,
+                 ts_col: str, gap_s: int, watermark_s: int):
+        self.actors = actors
+        self.P = n_partitions
+        self.key = key
+        self.item = item
+        self.ts_col = ts_col
+        self.gap_us = int(gap_s) * 1_000_000
+        self.wm_us = int(max(min(watermark_s * 1_000_000, 2**62), -(2**62)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_in = batch.num_rows
+        ts_us = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        max_ts = int(ts_us.max()) if rows_in else -1
+        live = ts_us > self.wm_us
+        late = int(rows_in - live.sum())
+        calls = 0
+        idx = np.flatnonzero(live)
+        if idx.size:
+            keys = batch[self.key].to_numpy(zero_copy_only=False)[idx]
+            items = batch[self.item].to_numpy(zero_copy_only=False)[idx]
+            tv = ts_us[idx]
+            codes, uniq_keys = pd.factorize(keys, sort=False)
+            order = np.lexsort((tv, codes))
+            c_s, t_s, i_s = codes[order], tv[order], items[order]
+            n = c_s.size
+            brk = np.ones(n, dtype=bool)
+            brk[1:] = (c_s[1:] != c_s[:-1]) | ((t_s[1:] - t_s[:-1]) > self.gap_us)
+            seg = np.cumsum(brk) - 1
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], n)
+            # exact (fragment, item) counts in one factorize+bincount
+            fcodes, funiq = pd.factorize(
+                pd.MultiIndex.from_arrays([seg, i_s])
+            )
+            fn = np.bincount(fcodes).astype(np.int64)
+            fseg = funiq.get_level_values(0).to_numpy().astype(np.int64)
+            fitem = funiq.get_level_values(1).to_numpy().astype(np.int64)
+            gk = np.asarray(uniq_keys)[c_s[starts]]
+            fs = t_s[starts]
+            fe = t_s[ends - 1]
+            part = (_key_u64(gk) % np.uint64(self.P)).astype(np.int64)
+            rpart = part[fseg]
+            po = np.argsort(rpart, kind="stable")
+            tbl = pa.table(
+                {
+                    "key": pa.array(gk[fseg][po].tolist(), pa.string()),
+                    "session_start_us": pa.array(fs[fseg][po], pa.int64()),
+                    "session_end_us": pa.array(fe[fseg][po], pa.int64()),
+                    "item": pa.array(fitem[po], pa.int64()),
+                    "n": pa.array(fn[po], pa.int64()),
+                }
+            )
+            sp = rpart[po]
+            bounds = np.flatnonzero(np.diff(sp)) + 1
+            s_idx = np.concatenate(([0], bounds))
+            e_idx = np.concatenate((bounds, [sp.size]))
+            for s, e in zip(s_idx, e_idx):
+                self.actors[int(sp[s])].ingest.remote(tbl.slice(int(s), int(e - s)))
+                calls += 1
+        return pa.table(
+            {
+                "max_ts_us": pa.array([max_ts], pa.int64()),
+                "late_dropped": pa.array([late], pa.int64()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "ingest_calls": pa.array([calls], pa.int64()),
+            }
+        )
+
+
 class MgStreamDriver(EpochDriverBase):
     """Epoch loop for streaming windowed heavy hitters: exact per-batch
     count partials -> MG-bounded actor state -> top-k emission when the
@@ -1518,6 +1833,7 @@ class MgStreamDriver(EpochDriverBase):
     def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
                  item: str = "user_id", ts_col: str = "ts_us",
                  window_size_s: int = 86400, hop_s: int | None = None,
+                 session_gap_s: int | None = None,
                  allowed_lateness_s: int = 3600,
                  capacity: int = 4096, top: int = 10,
                  n_partitions: int = 8, batch_size: int | None = None):
@@ -1525,6 +1841,11 @@ class MgStreamDriver(EpochDriverBase):
         self.key = key
         self.item = item
         self.ts_col = ts_col
+        self.session_gap_s = (
+            int(session_gap_s) if session_gap_s is not None else None
+        )
+        if self.session_gap_s is not None and hop_s is not None:
+            raise ValueError("session_gap_s and hop_s are mutually exclusive")
         self.size_s = int(window_size_s)
         self.hop_s = int(hop_s) if hop_s is not None else self.size_s
         if self.size_s % self.hop_s:
@@ -1539,10 +1860,18 @@ class MgStreamDriver(EpochDriverBase):
 
     def _ensure_actors(self):
         if self.actors is None:
-            self.actors = [
-                MgStatePartition.remote(p, self.size_s, self.capacity)
-                for p in range(self.n_partitions)
-            ]
+            if self.session_gap_s is not None:
+                self.actors = [
+                    MgSessionStatePartition.remote(
+                        p, self.session_gap_s, self.capacity
+                    )
+                    for p in range(self.n_partitions)
+                ]
+            else:
+                self.actors = [
+                    MgStatePartition.remote(p, self.size_s, self.capacity)
+                    for p in range(self.n_partitions)
+                ]
 
     def _driver_state(self) -> dict:
         return {"watermark_s": self.watermark_s,
@@ -1555,10 +1884,16 @@ class MgStreamDriver(EpochDriverBase):
         ds = self._epoch_dataset(epoch)
         em = {"rows_in": 0, "late_dropped": 0, "max_ts_us": -1}
         if ds is not None:
-            router = MgRouter(
-                self.actors, self.n_partitions, self.key, self.item,
-                self.ts_col, self.size_s, self.hop_s, self.watermark_s,
-            )
+            if self.session_gap_s is not None:
+                router = MgSessionRouter(
+                    self.actors, self.n_partitions, self.key, self.item,
+                    self.ts_col, self.session_gap_s, self.watermark_s,
+                )
+            else:
+                router = MgRouter(
+                    self.actors, self.n_partitions, self.key, self.item,
+                    self.ts_col, self.size_s, self.hop_s, self.watermark_s,
+                )
             kwargs = {"batch_format": "pyarrow", "max_retries": 0,
                       "zero_copy_batch": True}
             if self.batch_size:
@@ -1585,11 +1920,14 @@ class MgStreamDriver(EpochDriverBase):
             )
             if t.num_rows
         ]
+        sort_by = (
+            ["key", "session_start_us", "rank"]
+            if self.session_gap_s is not None
+            else ["key", "window_start_s", "rank"]
+        )
         if tables:
             out = pa.concat_tables(tables)
-            self.sink.commit(
-                epoch, out, sort_by=["key", "window_start_s", "rank"]
-            )
+            self.sink.commit(epoch, out, sort_by=sort_by)
         else:
             self.sink.commit(epoch, pa.table({}))
 

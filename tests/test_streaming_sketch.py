@@ -263,6 +263,133 @@ def test_mg_crash_resume_exactly_once(ray_session):
         shutil.rmtree(out2, ignore_errors=True)
 
 
+_SESS_GAP = 7200
+
+
+def _mg_session_expected(fix: str, gap_s: int, top: int) -> pd.DataFrame:
+    fs = sorted(glob.glob(os.path.join(fix, "arrival=*", "*.parquet")))
+    df = pa.concat_tables([pq.read_table(f) for f in fs]).to_pandas()
+    rows = []
+    for k, g in df.groupby("event_type"):
+        g = g.sort_values("ts_us", ignore_index=True)
+        ts = g["ts_us"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_s * 1_000_000
+        sid = np.cumsum(brk) - 1
+        for s, gg in g.groupby(sid):
+            c = gg.groupby("user_id").size().reset_index(name="n")
+            c = c.sort_values(
+                ["n", "user_id"], ascending=[False, True], ignore_index=True
+            ).head(top)
+            for r_i, (u, n) in enumerate(zip(c["user_id"], c["n"]), 1):
+                rows.append(
+                    {"key": k,
+                     "session_start_us": int(gg["ts_us"].min()),
+                     "session_end_us": int(gg["ts_us"].max()),
+                     "item": int(u), "n": int(n), "rank": r_i}
+                )
+    return pd.DataFrame(rows).sort_values(
+        ["key", "session_start_us", "rank"], ignore_index=True
+    )
+
+
+def test_mg_session_lossless_exact(ray_session):
+    """Session-window Misra-Gries at lossless capacity: gap-merged
+    session boundaries AND per-session top-5 (counts, ranks) must
+    equal batch sessionization exactly, with zero deficit."""
+    from raystat.streaming.sketch import MgStreamDriver
+
+    fix = events_stream_fixture(SF, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="rs_mgsess_")
+    try:
+        drv = MgStreamDriver(
+            fix, out, session_gap_s=_SESS_GAP, allowed_lateness_s=LATENESS,
+            capacity=8192, top=5, n_partitions=4,
+        )
+        drv.run()
+        got = drv.result_table().to_pandas()
+        assert (got["mg_deficit"] == 0).all()
+        cols = ["key", "session_start_us", "session_end_us", "item", "n", "rank"]
+        g = got.sort_values(
+            ["key", "session_start_us", "rank"], ignore_index=True
+        )[cols]
+        e = _mg_session_expected(fix, _SESS_GAP, 5)[cols]
+        pd.testing.assert_frame_equal(g, e.astype(g.dtypes.to_dict()))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_mg_session_lossy_deficit_observable(ray_session):
+    """Over-capacity single session: the MG reduction fires inside
+    SESSION state, the deficit is carried on the emitted rows, and the
+    dominant item still ranks 1 within the n/capacity bound."""
+    from raystat.streaming.sketch import MgStreamDriver
+
+    root = tempfile.mkdtemp(prefix="rs_mgsess_fix_")
+    out = tempfile.mkdtemp(prefix="rs_mgsess_")
+    try:
+        rng = np.random.default_rng(7)
+        n = 20_000
+        items = np.where(
+            rng.random(n) < 0.2, 0, rng.integers(1, 5_000, n)
+        ).astype(np.int64)
+        tbl = pa.table(
+            {
+                "event_type": pa.array(["a"] * n, pa.string()),
+                "ts_us": pa.array(
+                    np.full(n, 1_000_000_000_000, dtype=np.int64), pa.int64()
+                ),
+                "user_id": pa.array(items, pa.int64()),
+            }
+        )
+        d = os.path.join(root, "arrival=0")
+        os.makedirs(d)
+        pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+        cap = 64
+        drv = MgStreamDriver(
+            root, out, session_gap_s=3600, allowed_lateness_s=0,
+            capacity=cap, top=5, n_partitions=2,
+        )
+        drv.run()
+        got = drv.result_table().to_pandas()
+        assert len(got) and (got["mg_deficit"] > 0).all()
+        top1 = got[got["rank"] == 1].iloc[0]
+        true_heavy = int((items == 0).sum())
+        assert top1["item"] == 0
+        assert 0 <= true_heavy - top1["n"] <= n / cap + 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_mg_session_crash_resume_exactly_once(ray_session):
+    from raystat.streaming.sketch import MgStreamDriver
+
+    fix = events_stream_fixture(SF, n_epochs=4)
+    out1 = tempfile.mkdtemp(prefix="rs_mgsess_")
+    out2 = tempfile.mkdtemp(prefix="rs_mgsess_")
+    try:
+        kw = dict(session_gap_s=_SESS_GAP, allowed_lateness_s=LATENESS,
+                  capacity=8192, top=5, n_partitions=4)
+        cols = ["key", "session_start_us", "session_end_us", "item", "n", "rank"]
+        ref = MgStreamDriver(fix, out1, **kw)
+        ref.run()
+        expected = ref.result_table().to_pandas().sort_values(
+            ["key", "session_start_us", "rank"], ignore_index=True
+        )[cols]
+        d1 = MgStreamDriver(fix, out2, **kw)
+        d1.run(stop_after_epoch=1)
+        d2 = MgStreamDriver(fix, out2, **kw)
+        d2.run(resume=True)
+        got = d2.result_table().to_pandas().sort_values(
+            ["key", "session_start_us", "rank"], ignore_index=True
+        )[cols]
+        pd.testing.assert_frame_equal(got, expected)
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
+
+
 def test_streamed_hopping_equals_batch_registers(ray_session):
     """HOPPING mode: every row feeds each of its size/hop covering
     windows; streamed registers equal direct per-window computation."""
