@@ -32,6 +32,7 @@ from raystat.dataops.graph import connected_components
 from raystat.dataops.pairs import (
     OVERFLOW_SENTINEL,
     bucket_partition,
+    pairwise_set_jaccard,
     pop_overflow,
     segmented_capped_pairs,
     sort_segments,
@@ -287,13 +288,12 @@ def _doc_shingle_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
     return flat.astype(np.int64), offsets
 
 
-def minhash_signatures_batch(batch: pa.Table, text_col: str = "text") -> np.ndarray:
-    """(n_docs, 64) int64 minhash signatures, vectorized:
-    perm hash = (a*h + b) mod p, min per doc via minimum.reduceat."""
-    n_docs = batch.num_rows
-    if not n_docs:
-        return np.zeros((0, _N_PERM), dtype=np.int64)
-    flat, offsets = _doc_shingle_arrays(batch[text_col])
+def _sigs_from_shingles(
+    flat: np.ndarray, offsets: np.ndarray, n_docs: int
+) -> np.ndarray:
+    """(n_docs, 64) int64 minhash signatures from flattened per-doc
+    shingle hashes: perm hash = (a*h + b) mod p, min per doc via
+    minimum.reduceat."""
     sig = np.empty((n_docs, _N_PERM), dtype=np.int64)
     flat_u = flat.astype(np.uint64)
     for j in range(_N_PERM):
@@ -302,6 +302,15 @@ def minhash_signatures_batch(batch: pa.Table, text_col: str = "text") -> np.ndar
         )
         sig[:, j] = np.minimum.reduceat(ph.astype(np.int64), offsets)
     return sig
+
+
+def minhash_signatures_batch(batch: pa.Table, text_col: str = "text") -> np.ndarray:
+    """(n_docs, 64) int64 minhash signatures, vectorized."""
+    n_docs = batch.num_rows
+    if not n_docs:
+        return np.zeros((0, _N_PERM), dtype=np.int64)
+    flat, offsets = _doc_shingle_arrays(batch[text_col])
+    return _sigs_from_shingles(flat, offsets, n_docs)
 
 
 def _band_rows(ids: np.ndarray, sig: np.ndarray) -> pa.Table:
@@ -397,15 +406,17 @@ def minhash_lsh_pairs(
         return empty
 
     def payload_of(batch: pa.Table, rows: np.ndarray) -> list:
-        # payload = 64-int signature ‖ sorted unique shingle hashes
+        # payload = 64-int signature ‖ distinct shingle hashes, all
+        # from ONE pass of the shared vectorized shingle pipeline
+        # (empty docs carry the 0-sentinel hash on BOTH sides of the
+        # verify, so empty-empty still scores J=1)
         sub = batch.take(pa.array(rows))
-        sigs = minhash_signatures_batch(sub, text_col)
-        texts = sub[text_col].to_pylist()
+        flat, offsets = _doc_shingle_arrays(sub[text_col])
+        sigs = _sigs_from_shingles(flat, offsets, sub.num_rows)
+        bounds = np.append(offsets, len(flat))
         return [
-            np.concatenate(
-                [sigs[i], np.array(sorted(shingle_set(t)), dtype=np.int64)]
-            )
-            for i, t in enumerate(texts)
+            np.concatenate([sigs[i], flat[bounds[i] : bounds[i + 1]]])
+            for i in range(sub.num_rows)
         ]
 
     # 3-sigma lower margin of the 64-permutation Jaccard estimator
@@ -418,21 +429,18 @@ def minhash_lsh_pairs(
         SB = np.stack([lookup[int(b_)][:_N_PERM] for b_ in pb_ids])
         est = (SA == SB).mean(axis=1)
         near = np.nonzero(est >= threshold - margin)[0]
-        out_a, out_b, out_j = [], [], []
-        for i in near:
-            sa = lookup[int(pa_ids[i])][_N_PERM:]
-            sb = lookup[int(pb_ids[i])][_N_PERM:]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = inter / union if union else 1.0
-            if j >= threshold:
-                out_a.append(int(pa_ids[i]))
-                out_b.append(int(pb_ids[i]))
-                out_j.append(j)
+        # exact Jaccard for the near-positives in one lexsort-merge
+        # sweep (pairs.pairwise_set_jaccard) — no per-pair Python
+        j = pairwise_set_jaccard(
+            [np.asarray(lookup[int(pa_ids[i])][_N_PERM:]) for i in near],
+            [np.asarray(lookup[int(pb_ids[i])][_N_PERM:]) for i in near],
+        )
+        keep = j >= threshold
+        sel = near[keep]
         return pd.DataFrame(
-            {"doc_a": np.array(out_a, dtype=np.int64),
-             "doc_b": np.array(out_b, dtype=np.int64),
-             "jaccard": np.array(out_j, dtype=np.float64)}
+            {"doc_a": pa_ids[sel],
+             "doc_b": pb_ids[sel],
+             "jaccard": j[keep].astype(np.float64)}
         )
 
     out = verify_pairs_distributed(
@@ -764,24 +772,11 @@ def ngram_jaccard_pairs(
         idx = np.flatnonzero(ok)
         if not idx.size:
             return emptydf
-        la, lb = na[idx], nb[idx]
         # ONE lexsort-merge intersection sweep over the partition's
-        # flattened (pair, hash) rows: within a pair each side is a
-        # distinct set, so equal-adjacent rows after the (pair, hash)
-        # sort are exactly the common elements — no per-pair Python.
-        m = idx.size
-        flat = np.concatenate(
-            [arrs_a[i] for i in idx] + [arrs_b[i] for i in idx]
+        # flattened (pair, hash) rows — no per-pair Python
+        j = pairwise_set_jaccard(
+            [arrs_a[i] for i in idx], [arrs_b[i] for i in idx]
         )
-        pid = np.concatenate(
-            [np.repeat(np.arange(m), la), np.repeat(np.arange(m), lb)]
-        )
-        order = np.lexsort((flat, pid))
-        f, p = flat[order], pid[order]
-        eq = (f[1:] == f[:-1]) & (p[1:] == p[:-1])
-        inter = np.bincount(p[:-1][eq], minlength=m).astype(np.int64)
-        union = la + lb - inter
-        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = j >= tmin
         sel = idx[keep]
         return pd.DataFrame(

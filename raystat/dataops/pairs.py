@@ -162,6 +162,32 @@ def pop_overflow(cand: pd.DataFrame, metrics: dict | None) -> pd.DataFrame:
     return cand[cand["doc_a"] != OVERFLOW_SENTINEL]
 
 
+def pairwise_set_jaccard(arrs_a: list, arrs_b: list) -> np.ndarray:
+    """Exact Jaccard for ALIGNED lists of distinct-value int64 arrays
+    in ONE lexsort-merge sweep over the flattened (pair, value) rows:
+    within a pair each side is a distinct set, so equal-adjacent rows
+    after the (pair, value) sort are exactly the common elements — no
+    per-pair Python.  Empty-vs-empty pairs score 1.0 (union 0)."""
+    m = len(arrs_a)
+    if not m:
+        return np.empty(0, dtype=np.float64)
+    la = np.fromiter((v.size for v in arrs_a), dtype=np.int64, count=m)
+    lb = np.fromiter((v.size for v in arrs_b), dtype=np.int64, count=m)
+    flat = np.concatenate(arrs_a + arrs_b)
+    pid = np.concatenate(
+        [np.repeat(np.arange(m), la), np.repeat(np.arange(m), lb)]
+    )
+    order = np.lexsort((flat, pid))
+    f, p = flat[order], pid[order]
+    if f.size < 2:
+        inter = np.zeros(m, dtype=np.int64)
+    else:
+        eq = (f[1:] == f[:-1]) & (p[1:] == p[:-1])
+        inter = np.bincount(p[:-1][eq], minlength=m).astype(np.int64)
+    union = la + lb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 def verify_pairs_distributed(
     ds,
     cand: pd.DataFrame,
