@@ -99,6 +99,7 @@ def _specialized_driver(args):
         return MgStreamDriver(
             args.input, args.out, key=args.key, item=args.value,
             ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
+            session_gap_s=args.session_gap,
             allowed_lateness_s=args.lateness, n_partitions=args.partitions,
             batch_size=args.batch_size,
         )
@@ -108,6 +109,7 @@ def _specialized_driver(args):
         return KllStreamDriver(
             args.input, args.out, key=args.key, value=args.value,
             ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
+            session_gap_s=args.session_gap,
             allowed_lateness_s=args.lateness, n_partitions=args.partitions,
             batch_size=args.batch_size,
         )
