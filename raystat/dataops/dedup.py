@@ -398,6 +398,10 @@ def minhash_lsh_pairs(
         .to_pandas()
     )
     cand = pop_overflow(cand, metrics).drop_duplicates(ignore_index=True)
+    if metrics is not None:
+        # driver-frame bound observability: the candidate id-pair frame
+        # is the ONLY per-pair driver materialization in this path
+        metrics["candidate_pairs"] = int(len(cand))
     empty = pd.DataFrame(
         {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64),
          "jaccard": pd.Series(dtype=np.float64)}
@@ -732,6 +736,10 @@ def ngram_jaccard_pairs(
         .to_pandas()
     )
     cand = pop_overflow(cand, metrics).drop_duplicates(ignore_index=True)
+    if metrics is not None:
+        # driver-frame bound observability: the candidate id-pair frame
+        # is the ONLY per-pair driver materialization in this path
+        metrics["candidate_pairs"] = int(len(cand))
     empty = pd.DataFrame(
         {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64),
          "jaccard": pd.Series(dtype=np.float64)}
