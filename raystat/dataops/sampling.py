@@ -16,6 +16,8 @@ deterministic sampler for distributed corpora.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -27,6 +29,8 @@ __all__ = [
     "assign_split_batch",
     "split_dataset",
     "sample_k_per_group",
+    "mixture_sample_rates",
+    "mixture_sample",
 ]
 
 # (name, upper-bound pct) cumulative: h<80 train, h<90 val, else test
@@ -140,3 +144,67 @@ def sample_k_per_group(ds, k: int, key_col: str = "source",
         .groupby(key_col)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def mixture_sample_rates(
+    mass_by_key: dict, alpha: float = 0.5, rho: float = 0.5
+) -> dict:
+    """Temperature-weighted mixture rates: keep-rate per stratum
+    proportional to ``mass**(alpha-1)`` — the standard data-mixing rule
+    that flattens the corpus distribution toward uniform as ``alpha``
+    drops below 1 (alpha=1 keeps natural proportions; alpha=0 equalizes
+    strata).  Rates are anchored to the LARGEST stratum, which keeps
+    ``rho`` of its mass: rate_s = min(1, rho * (m_max / m_s)**(1-alpha)).
+
+    alpha is fixed at 0.5 so the exponent is a SQUARE ROOT — IEEE 754
+    requires sqrt (and /,*) to be correctly rounded, so numpy and the
+    DuckDB oracle compute BIT-IDENTICAL rates from the same integer
+    masses; a general ``pow`` is only faithfully rounded and could
+    disagree by 1 ulp across libms.  Returns {key: (rate, threshold)}
+    with threshold = floor(rate * 2**64) for the splitmix64 keep test.
+    """
+    if alpha != 0.5:
+        raise ValueError("alpha is pinned to 0.5 (sqrt) for oracle-exact rates")
+    m_max = float(max(mass_by_key.values()))
+    out = {}
+    for k, m in mass_by_key.items():
+        r = min(1.0, rho * math.sqrt(m_max / float(m)))
+        out[k] = (r, math.floor(r * 2.0**64))
+    return out
+
+
+def mixture_sample(ds, key_col: str = "source", mass_col: str = "n_chars",
+                   id_col: str = "doc_id", alpha: float = 0.5,
+                   rho: float = 0.5):
+    """Deterministic temperature mixture sampling over strata (the
+    data-mixing operator: downsample dominant sources toward a flatter
+    mix, weighted by token/char MASS rather than doc count).  Two
+    scale-shaped passes: (1) an O(strata)-row grouped sum of
+    ``mass_col`` (tiny driver frame), (2) a pure streaming keep-filter
+    ``splitmix64(id) < floor(rate_s * 2**64)`` with the O(strata) rate
+    map riding the closure — no shuffle of the corpus, stable under
+    reruns, repartitioning and cluster size."""
+    masses = {
+        r[key_col]: int(r[f"sum({mass_col})"])
+        for r in ds.groupby(key_col).sum(mass_col).take_all()
+    }
+    rates = mixture_sample_rates(masses, alpha=alpha, rho=rho)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = splitmix64(ids.astype(np.uint64))
+        keys = pd.Series(batch[key_col].to_numpy(zero_copy_only=False))
+        # threshold == 2**64 (rate 1.0, or floor(r*2**64) rounding up
+        # to 2**64 for r within 1 ulp of 1) keeps EVERY row — matching
+        # the oracle, where hv < 2**64 is vacuously true in uhugeint
+        full = keys.map(
+            {k: t >= 2**64 for k, (r, t) in rates.items()}
+        ).to_numpy(dtype=bool)
+        thr = keys.map(
+            {k: min(t, np.iinfo(np.uint64).max) for k, (r, t) in rates.items()}
+        ).to_numpy(dtype=np.uint64)
+        return batch.filter(pa.array((hv < thr) | full))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -1854,6 +1854,40 @@ QUERIES.extend(
 )
 
 
+def _q_mixture_sample(sf_dir):
+    """Temperature-weighted data-mixing sampler (dataops/sampling.py
+    mixture_sample): per-source keep-rate min(1, 0.5*sqrt(c_max/c_s))
+    over CHARACTER mass (alpha=0.5 temperature flattening, anchored to
+    the largest source) — the standard corpus-mixing rule.  Pass 1 is
+    an O(sources) grouped sum; pass 2 a pure streaming splitmix64
+    threshold filter — the corpus never shuffles.  alpha is pinned to
+    0.5 (sqrt is IEEE correctly-rounded) so DuckDB reproduces the
+    rates bit-exactly from the same integer masses."""
+    from raystat.dataops.sampling import mixture_sample
+
+    return mixture_sample(
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    ).select_columns(["doc_id", "source"])
+
+
+QUERIES.append(
+    QueryDef(
+        "mixture_sample_documents",
+        _q_mixture_sample,
+        f"""WITH cnt AS (SELECT source, cast(sum(n_chars) as double) AS cs
+                         FROM documents GROUP BY source),
+              mx AS (SELECT max(cs) AS cmax FROM cnt),
+              rate AS (SELECT source, least(1.0, 0.5 * sqrt(cmax / cs)) AS r
+                       FROM cnt, mx),
+              {SPLITMIX_FULL_CTE}
+            SELECT f.doc_id, f.source FROM smf f JOIN rate USING (source)
+            WHERE r >= 1.0
+               OR cast(f.hv as uhugeint)
+                  < cast(floor(r * 18446744073709551616.0) as uhugeint)""",
+    )
+)
+
+
 def _q_token_vocab(sf_dir):
     """Corpus vocabulary histogram (token id -> total occurrences).
     Per-batch np.bincount partials collapse each batch to at most

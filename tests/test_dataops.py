@@ -1600,3 +1600,52 @@ def test_range_partition_empty_bucket_sealed(ray_session):
             assert os.path.getmtime(os.path.join(out, f)) == m
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    """Temperature mixture sampling: the largest stratum keeps ~rho of
+    its rows, smaller strata keep proportionally more (sqrt temperature
+    flattening), rate-1 strata keep EVERYTHING, and the kept set is the
+    exact splitmix64-threshold predicate — identical across block
+    layouts."""
+    import ray.data as rd
+
+    from raystat.dataops.pairs import splitmix64
+    from raystat.dataops.sampling import mixture_sample, mixture_sample_rates
+
+    # three strata with 16:4:1 char mass -> rates 0.5, 1.0(capped), 1.0
+    n = 2100
+    ids = np.arange(n, dtype=np.int64)
+    src = np.where(ids < 1600, "big", np.where(ids < 2000, "mid", "rare"))
+    chars = np.where(src == "big", 100, np.where(src == "mid", 100, 100))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "source": pa.array(src.astype(object)),
+            "n_chars": pa.array(chars.astype(np.int64)),
+        }
+    )
+    masses = {"big": 160000, "mid": 40000, "rare": 10000}
+    rates = mixture_sample_rates(masses)
+    assert rates["big"][0] == 0.5
+    assert rates["mid"][0] == 1.0  # 0.5*sqrt(4) = 1.0 exactly
+    assert rates["rare"][0] == 1.0  # capped at 1
+
+    def run(nblocks):
+        return to_pandas(
+            mixture_sample(rd.from_arrow(t).repartition(nblocks))
+        ).sort_values("doc_id", ignore_index=True)
+
+    a, b = run(1), run(8)
+    pd.testing.assert_frame_equal(a, b)
+    # rate-1 strata keep everything
+    assert (a["source"] == "mid").sum() == 400
+    assert (a["source"] == "rare").sum() == 100
+    # the big stratum keeps exactly the sub-threshold hashes
+    big_ids = ids[src == "big"]
+    thr = np.uint64(rates["big"][1])
+    want = set(big_ids[splitmix64(big_ids.astype(np.uint64)) < thr].tolist())
+    got = set(a.loc[a["source"] == "big", "doc_id"].tolist())
+    assert got == want
+    # ~rho of the big stratum survives (hash uniformity)
+    assert 0.4 < len(want) / len(big_ids) < 0.6
