@@ -33,6 +33,13 @@ __all__ = [
     "grouped_entropy",
     "mg_merge",
     "grouped_mg_topk",
+    "CMS_DEPTH",
+    "CMS_WIDTH",
+    "cms_init",
+    "cms_add",
+    "cms_merge",
+    "cms_estimate",
+    "grouped_cms",
 ]
 
 HLL_P = 12  # 4096 registers, ~1.6% standard error
@@ -222,4 +229,103 @@ def grouped_mg_topk(ds, key: str, value: str, k: int = 64, top: int = 10):
         ds.map_batches(count_partial, batch_format="pyarrow")
         .groupby(key)
         .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
+# -- Count-Min sketch (Cormode & Muthukrishnan 2005) -------------------------
+#
+# Fixed-size frequency sketch: DEPTH x WIDTH int64 counters, row j
+# indexed by splitmix64(v ^ seed_j) % WIDTH.  add = vectorized
+# bincount scatter; merge = element-wise SUM (counters are linear —
+# exact under any merge order, the additive dual of HLL's idempotent
+# max).  Point estimate = min over rows (never underestimates; the
+# over-estimate is bounded by (e/WIDTH) * N with prob 1 - e**-DEPTH).
+# At 100 TB the shuffle carries one 256 KiB counter row per
+# (group, batch) — row-count independent, like the HLL registers.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+# deterministic per-row seeds: splitmix64 finalizer of j * golden ratio
+_CMS_SEEDS = splitmix64(
+    (np.arange(1, CMS_DEPTH + 1, dtype=np.uint64))
+    * np.uint64(0x9E3779B97F4A7C15)
+)
+
+
+def cms_init() -> np.ndarray:
+    return np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+
+
+def _cms_flat_idx(values: np.ndarray) -> np.ndarray:
+    """(DEPTH, n) flat counter indices j*WIDTH + h_j(v)."""
+    v = np.asarray(values).astype(np.uint64, copy=False)
+    rows = []
+    for j in range(CMS_DEPTH):
+        h = splitmix64(v ^ _CMS_SEEDS[j]) % np.uint64(CMS_WIDTH)
+        rows.append(h.astype(np.int64) + j * CMS_WIDTH)
+    return np.stack(rows)
+
+
+def cms_add(counts: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized aggregate: one bincount over all DEPTH index rows."""
+    if len(values):
+        idx = _cms_flat_idx(values).ravel()
+        counts += np.bincount(idx, minlength=CMS_DEPTH * CMS_WIDTH).astype(
+            np.int64
+        )
+    return counts
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_estimate(counts: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Per-value point estimate: min over the DEPTH counter rows."""
+    if not len(values):
+        return np.zeros(0, dtype=np.int64)
+    return counts[_cms_flat_idx(values)].min(axis=0)
+
+
+def grouped_cms(ds, key: str, value: str):
+    """Per-key merged Count-Min sketch: one fixed-size counter blob per
+    (key, batch) partial (256 KiB, row-count independent), one tiny
+    groupby to sum them.  Returns a Dataset of (key, n, cms) with n =
+    total ingested rows (the estimate-error scale) and cms = the
+    int64-LE counter blob."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, blobs, ns = [], [], []
+        kcol = batch[key].to_numpy(zero_copy_only=False)
+        vals = batch[value].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(kcol, sort=False)
+        for c, k in enumerate(uniq):
+            v = vals[codes == c]
+            keys.append(k)
+            ns.append(len(v))
+            blobs.append(cms_add(cms_init(), v).tobytes())
+        return pa.table(
+            {
+                key: pa.array(keys),
+                "n": pa.array(np.asarray(ns, dtype=np.int64)),
+                "cms": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = cms_init()
+        for b in g["cms"]:
+            acc = cms_merge(acc, np.frombuffer(b, dtype=np.int64))
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "n": [int(g["n"].sum())],
+                "cms": [acc.tobytes()],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .map_groups(merge, batch_format="pandas")
     )

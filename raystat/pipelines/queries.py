@@ -4371,6 +4371,69 @@ QUERIES.extend(
 )
 
 
+def _q_cms_accuracy(sf_dir):
+    """Count-Min frequency sketch (sketches.py grouped_cms) gated
+    against exact distributed counts: per-event_type CMS from
+    fixed-size 256 KiB per-(key, batch) counter partials (row-count
+    independent shuffle, the additive dual of the HLL registers), point
+    estimates for the deterministic probe set ``user_id % 3 == 0``.
+    CMS never under-counts, and the over-count gate is the standard
+    (e/width)*N bound with a 2x margin — deterministic per sf (the
+    hashes are splitmix64), so the driver's equality compare pins it,
+    same pattern as hll_distinct_accuracy."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from raystat.dataops.sketches import CMS_WIDTH, cms_estimate, grouped_cms
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    sk = grouped_cms(ds, "event_type", "user_id").to_pandas()  # O(keys) blobs
+
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(uid % 3 == 0)
+        t = pa.table(
+            {"event_type": batch["event_type"].filter(keep),
+             "user_id": batch["user_id"].filter(keep)}
+        )
+        agg = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["event_type", "user_id", "n"])
+
+    exact = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(probe_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    parts = []
+    for _, row in sk.iterrows():
+        g = exact[exact["event_type"] == row["event_type"]].copy()
+        counts = np.frombuffer(row["cms"], dtype=np.int64)
+        est = cms_estimate(counts, g["user_id"].to_numpy())
+        bound = max(1, math.ceil(2 * math.e * int(row["n"]) / CMS_WIDTH))
+        g["within_bound"] = (est >= g["n"].to_numpy()) & (
+            est <= g["n"].to_numpy() + bound
+        )
+        parts.append(g)
+    out = pd.concat(parts, ignore_index=True)
+    return out[["event_type", "user_id", "n", "within_bound"]]
+
+
+QUERIES.append(
+    QueryDef(
+        "cms_count_accuracy",
+        _q_cms_accuracy,
+        """SELECT event_type, user_id, count(*) AS n, true AS within_bound
+           FROM events WHERE user_id % 3 = 0 GROUP BY 1, 2""",
+    )
+)
+
+
 QUERIES.append(
     QueryDef(
         "asof_purchase_events",

@@ -1649,3 +1649,52 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     assert got == want
     # ~rho of the big stratum survives (hash uniformity)
     assert 0.4 < len(want) / len(big_ids) < 0.6
+
+
+def test_cms_never_undercounts_and_merges_linearly(ray_session):
+    """Count-Min invariants: estimates are >= true counts always
+    (counters only add), merge order is irrelevant (sums are linear),
+    absent items estimate 0 when width dwarfs the load, and
+    grouped_cms over blocks equals a single-shot local sketch."""
+    import ray.data as rd
+
+    from raystat.dataops.sketches import (
+        CMS_WIDTH,
+        cms_add,
+        cms_estimate,
+        cms_init,
+        cms_merge,
+        grouped_cms,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 500, size=5000).astype(np.int64)
+    halves = np.array_split(vals, 3)
+    parts = [cms_add(cms_init(), h) for h in halves]
+    m1 = cms_merge(cms_merge(parts[0], parts[1]), parts[2])
+    m2 = cms_merge(parts[2], cms_merge(parts[1], parts[0]))
+    assert (m1 == m2).all()
+
+    probe = np.arange(600, dtype=np.int64)
+    true_n = np.bincount(vals, minlength=600)[:600]
+    est = cms_estimate(m1, probe)
+    assert (est >= true_n).all()
+    # 500 distinct into 8192 columns: collisions are rare; total
+    # overestimate stays far under the (e/W)*N bound per probe
+    assert (est - true_n).max() <= max(1, int(2 * np.e * len(vals) / CMS_WIDTH))
+    assert cms_estimate(m1, np.array([10_000], dtype=np.int64))[0] >= 0
+
+    # distributed == local, regardless of block layout
+    t = pa.table(
+        {
+            "k": pa.array(np.where(vals % 2 == 0, "even", "odd").astype(object)),
+            "v": pa.array(vals),
+        }
+    )
+    out = to_pandas(
+        grouped_cms(rd.from_arrow(t).repartition(8), "k", "v")
+    ).set_index("k")
+    for key, mask in (("even", vals % 2 == 0), ("odd", vals % 2 == 1)):
+        local = cms_add(cms_init(), vals[mask])
+        assert np.frombuffer(out.loc[key, "cms"], dtype=np.int64).tolist() == local.tolist()
+        assert out.loc[key, "n"] == mask.sum()
