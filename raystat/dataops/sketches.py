@@ -37,6 +37,7 @@ __all__ = [
     "CMS_WIDTH",
     "cms_init",
     "cms_add",
+    "cms_add_weighted",
     "cms_merge",
     "cms_estimate",
     "grouped_cms",
@@ -273,6 +274,19 @@ def cms_add(counts: np.ndarray, values: np.ndarray) -> np.ndarray:
         counts += np.bincount(idx, minlength=CMS_DEPTH * CMS_WIDTH).astype(
             np.int64
         )
+    return counts
+
+
+def cms_add_weighted(
+    counts: np.ndarray, values: np.ndarray, weights: np.ndarray
+) -> np.ndarray:
+    """Add pre-aggregated (value, count) pairs — the streaming partials
+    path, where the router already collapsed each batch to distinct
+    items.  Equivalent to ``cms_add`` over the expanded multiset."""
+    if len(values):
+        idx = _cms_flat_idx(values)
+        w = np.asarray(weights, dtype=np.int64)
+        np.add.at(counts, idx.ravel(), np.tile(w, CMS_DEPTH))
     return counts
 
 

@@ -4943,6 +4943,55 @@ QUERIES.append(
 )
 
 
+def _q_streaming_cms_user_counts(sf_dir):
+    """STREAMING windowed frequency estimates (streaming/sketch.py
+    CmsStreamDriver): per-(event_type, 7-day window) Count-Min counter
+    state — one fixed 256 KiB array per open (key, window) regardless
+    of the user domain (the additive dual of the HLL registers; the
+    fourth streaming sketch kind).  Emits the deterministic probe set
+    ``user_id % 3 == 0`` with exact counts carried alongside the
+    sketch, the CMS point estimate, and the (e/width)*N over-count
+    gate — CMS never under-counts, so the oracle pins exact counts +
+    an always-true gate (the hll/kll accuracy contract)."""
+    import shutil
+    import tempfile
+
+    from raystat.streaming.sketch import CmsStreamDriver, events_stream_fixture
+
+    fix = events_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_cms_q_")
+    try:
+        drv = CmsStreamDriver(
+            fix, out, key="event_type", item="user_id", ts_col="ts_us",
+            window_size_s=7 * DAY, allowed_lateness_s=200 * 3600,
+            probe_mod=3, n_partitions=8,
+        )
+        drv.run()
+        t = drv.result_table().to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    t = t.rename(
+        columns={"key": "event_type", "window_start_s": "window_start",
+                 "item": "user_id"}
+    )
+    return t[["event_type", "window_start", "user_id", "n", "within_bound"]]
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_cms_user_counts",
+        _q_streaming_cms_user_counts,
+        f"""WITH c AS (SELECT event_type,
+                      cast(floor(epoch(ts)/{7 * DAY})*{7 * DAY} as bigint) AS window_start,
+                      user_id, count(*) AS n
+               FROM events WHERE user_id % 3 = 0 GROUP BY 1, 2, 3)
+            SELECT event_type, window_start, user_id, n,
+                   true AS within_bound
+            FROM c""",
+    )
+)
+
+
 def _q_streaming_distinct_hopping(sf_dir):
     """The streaming HLL distinct count over HOPPING windows (size 2
     days, hop 1 day): every row's register partial feeds BOTH covering

@@ -37,13 +37,22 @@ import ray
 
 from raystat.dataops.asof import _key_u64
 from raystat.dataops.kll import KLL
-from raystat.dataops.sketches import _M, _rho_and_idx, hll_estimate, mg_merge
+from raystat.dataops.sketches import (
+    _M,
+    _rho_and_idx,
+    CMS_WIDTH,
+    cms_add_weighted,
+    cms_estimate,
+    cms_init,
+    hll_estimate,
+    mg_merge,
+)
 from raystat.streaming.epochs import EpochDriverBase
 from raystat.streaming.sink import ExactlyOnceParquetSink
 
 __all__ = [
     "HllStreamDriver", "MgStreamDriver", "KllStreamDriver",
-    "events_stream_fixture",
+    "CmsStreamDriver", "events_stream_fixture",
 ]
 
 _NEG = -(2**62)
@@ -1928,6 +1937,288 @@ class MgStreamDriver(EpochDriverBase):
         if tables:
             out = pa.concat_tables(tables)
             self.sink.commit(epoch, out, sort_by=sort_by)
+        else:
+            self.sink.commit(epoch, pa.table({}))
+
+    def _finalize_stream(self, final_epoch: int):
+        self._emit(final_epoch, 2**62)
+        self.metrics["final"] = {
+            "epoch": final_epoch,
+            "state_metrics": ray.get([a.get_metrics.remote() for a in self.actors]),
+        }
+
+    def result_table(self) -> pa.Table:
+        return self.sink.read_all()
+
+
+# -- Count-Min windowed frequency estimates ---------------------------------
+
+
+@ray.remote(num_cpus=0)
+class CmsStatePartition:
+    """Count-Min frequency state for one key-hash partition: per
+    (key, window_start_s) one fixed-size DEPTH x WIDTH int64 counter
+    array (sketches.py cms_*) — row-count- and domain-independent
+    state, the additive dual of the HLL registers (counters merge by
+    SUM, which is linear: any replay-free ingest order yields the
+    identical array, so streamed estimates equal the batch sketch over
+    the same rows).  Alongside each sketch it keeps EXACT counts for
+    the deterministic probe set ``item % probe_mod == 0`` — the gate
+    truth that makes the CMS error observable per emitted row, never
+    assumed (the same honesty contract as the MG deficit column).
+    Probe state is O(probe items per open window); at 100 TB one sets
+    ``probe_mod`` high (or disables gating) and keeps only the
+    fixed-size sketch."""
+
+    def __init__(self, pid: int, window_size_s: int, probe_mod: int):
+        self.pid = pid
+        self.size_s = int(window_size_s)
+        self.probe_mod = int(probe_mod)
+        self.pending: list[pa.Table] = []
+        self.sketch: dict[tuple, np.ndarray] = {}  # (key, ws) -> counters
+        self.total: dict[tuple, int] = {}          # (key, ws) -> rows ingested
+        self.probe: pd.DataFrame | None = None     # key, window_start_s, item, n
+        self.error: str | None = None
+        self.metrics = {"partial_rows_in": 0, "ingests": 0,
+                        "windows_closed": 0}
+
+    def ingest_count(self) -> int:
+        if self.error is not None:
+            raise RuntimeError(f"cms partition {self.pid} ingest failed: {self.error}")
+        return self.metrics["ingests"]
+
+    def ingest(self, table: pa.Table) -> int:
+        try:
+            n = table.num_rows
+            if n:
+                self.pending.append(table)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:
+            self.error = repr(e)
+            n = 0
+        self.metrics["ingests"] += 1
+        return n
+
+    def _consolidate(self) -> None:
+        # cms_add_weighted imported at MODULE scope (strict driver
+        # context: no worker-side raystat imports)
+        if not self.pending:
+            return
+        new = pa.concat_tables(self.pending).to_pandas()
+        self.pending = []
+        for (k, w), g in new.groupby(["key", "window_start_s"], sort=False):
+            kk = (k, int(w))
+            if kk not in self.sketch:
+                self.sketch[kk] = cms_init()
+            cms_add_weighted(
+                self.sketch[kk], g["item"].to_numpy(), g["n"].to_numpy()
+            )
+            self.total[kk] = self.total.get(kk, 0) + int(g["n"].sum())
+        pm = new[new["item"].to_numpy() % self.probe_mod == 0]
+        if len(pm):
+            pm = (
+                pm.groupby(["key", "window_start_s", "item"], sort=False)["n"]
+                .sum()
+                .reset_index()
+            )
+            if self.probe is not None and len(self.probe):
+                pm = (
+                    pd.concat([self.probe, pm], ignore_index=True)
+                    .groupby(["key", "window_start_s", "item"], sort=False)["n"]
+                    .sum()
+                    .reset_index()
+                )
+            self.probe = pm
+
+    def close_windows(self, watermark_s) -> pa.Table:
+        """Probe-item rows for each closed window: exact n, the CMS
+        point estimate, and the (e/WIDTH)*N over-count gate (2x
+        margin).  CMS never under-counts, so est >= n always."""
+        self._consolidate()
+        empty = pa.table(
+            {"key": pa.array([], pa.string()),
+             "window_start_s": pa.array([], pa.int64()),
+             "item": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "cms_est": pa.array([], pa.int64()),
+             "within_bound": pa.array([], pa.bool_())}
+        )
+        closed = [
+            kk for kk in self.sketch
+            if kk[1] + self.size_s <= watermark_s
+        ]
+        if not closed:
+            return empty
+        outs = []
+        for kk in sorted(closed):
+            counts = self.sketch.pop(kk)
+            total = self.total.pop(kk)
+            bound = max(1, int(np.ceil(2 * np.e * total / CMS_WIDTH)))
+            if self.probe is not None and len(self.probe):
+                m = (self.probe["key"] == kk[0]) & (
+                    self.probe["window_start_s"] == kk[1]
+                )
+                g = self.probe[m]
+                self.probe = self.probe[~m].reset_index(drop=True)
+            else:
+                g = pd.DataFrame(columns=["key", "window_start_s", "item", "n"])
+            if not len(g):
+                continue
+            items = g["item"].to_numpy().astype(np.int64)
+            n = g["n"].to_numpy().astype(np.int64)
+            est = cms_estimate(counts, items)
+            outs.append(pa.table(
+                {"key": pa.array([kk[0]] * len(g), pa.string()),
+                 "window_start_s": pa.array(
+                     np.full(len(g), kk[1], dtype=np.int64)),
+                 "item": pa.array(items),
+                 "n": pa.array(n),
+                 "cms_est": pa.array(est.astype(np.int64)),
+                 "within_bound": pa.array((est >= n) & (est <= n + bound))}
+            ))
+        self.metrics["windows_closed"] += len(closed)
+        return pa.concat_tables(outs) if outs else empty
+
+    def get_metrics(self) -> dict:
+        return {"partition": self.pid, **self.metrics,
+                "open_windows": len(self.sketch)}
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._consolidate()
+        path = os.path.join(ckpt_dir, f"cms-p{self.pid:04d}.parquet")
+        ks = sorted(self.sketch)
+        st = pa.table(
+            {"key": pa.array([k for k, _ in ks], pa.string()),
+             "window_start_s": pa.array([w for _, w in ks], pa.int64()),
+             "total": pa.array([self.total[kk] for kk in ks], pa.int64()),
+             "cms": pa.array([self.sketch[kk].tobytes() for kk in ks],
+                             pa.binary())}
+        )
+        pr = self.probe if self.probe is not None else pd.DataFrame(
+            {"key": pd.Series(dtype=object),
+             "window_start_s": pd.Series(dtype=np.int64),
+             "item": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64)}
+        )
+        pt = pa.Table.from_pandas(pr, preserve_index=False)
+        for p, tbl in ((path, st), (path.replace(".parquet", ".probe.parquet"), pt)):
+            tmp = p + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, p)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        # metrics stay FRESH (especially 'ingests': it is the ingest
+        # barrier counter on the new driver — the interval/dedup
+        # restore contract)
+        path = os.path.join(ckpt_dir, f"cms-p{self.pid:04d}.parquet")
+        self.pending = []
+        self.sketch = {}
+        self.total = {}
+        self.probe = None
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        for k, w, tot, blob in zip(
+            t["key"].to_pylist(), t["window_start_s"].to_pylist(),
+            t["total"].to_pylist(), t["cms"].to_pylist(),
+        ):
+            self.sketch[(k, int(w))] = np.frombuffer(
+                blob, dtype=np.int64
+            ).copy()
+            self.total[(k, int(w))] = int(tot)
+        pp = path.replace(".parquet", ".probe.parquet")
+        if os.path.exists(pp):
+            d = pq.read_table(pp).to_pandas()
+            if len(d):
+                self.probe = d
+        return t.num_rows
+
+
+class CmsStreamDriver(EpochDriverBase):
+    """Epoch loop for streaming windowed frequency estimates: the
+    MgRouter's exact per-batch count partials (identical wire format)
+    -> fixed-size Count-Min counter state per (key, window) -> gated
+    probe-item estimates when the watermark closes a window,
+    exactly-once per epoch.  Tumbling + hopping; sessions are
+    deliberately NOT offered for CMS — a dense 256 KiB array per open
+    session FRAGMENT would make gap-merges pathological, and
+    Misra-Gries (which has session support) is the bounded counter
+    whose state merges by sparse integer sum."""
+
+    def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
+                 item: str = "user_id", ts_col: str = "ts_us",
+                 window_size_s: int = 86400, hop_s: int | None = None,
+                 allowed_lateness_s: int = 3600, probe_mod: int = 3,
+                 n_partitions: int = 8, batch_size: int | None = None):
+        super().__init__(input_dir, out_dir)
+        self.key = key
+        self.item = item
+        self.ts_col = ts_col
+        self.size_s = int(window_size_s)
+        self.hop_s = int(hop_s) if hop_s is not None else self.size_s
+        if self.size_s % self.hop_s:
+            raise ValueError("window_size_s must be a multiple of hop_s")
+        self.lateness_s = int(allowed_lateness_s)
+        self.probe_mod = int(probe_mod)
+        self.n_partitions = n_partitions
+        self.batch_size = batch_size
+        self.sink = ExactlyOnceParquetSink(out_dir, "cms")
+        self.watermark_s = _NEG
+
+    def _ensure_actors(self):
+        if self.actors is None:
+            self.actors = [
+                CmsStatePartition.remote(p, self.size_s, self.probe_mod)
+                for p in range(self.n_partitions)
+            ]
+
+    def _driver_state(self) -> dict:
+        return {"watermark_s": self.watermark_s,
+                "committed": self.sink.committed_epochs()}
+
+    def _load_driver_state(self, state: dict) -> None:
+        self.watermark_s = int(state["watermark_s"])
+
+    def _run_epoch(self, epoch: int):
+        ds = self._epoch_dataset(epoch)
+        em = {"rows_in": 0, "late_dropped": 0, "max_ts_us": -1}
+        if ds is not None:
+            router = MgRouter(
+                self.actors, self.n_partitions, self.key, self.item,
+                self.ts_col, self.size_s, self.hop_s, self.watermark_s,
+            )
+            kwargs = {"batch_format": "pyarrow", "max_retries": 0,
+                      "zero_copy_batch": True}
+            if self.batch_size:
+                kwargs["batch_size"] = self.batch_size
+            stats = ds.map_batches(router, **kwargs).to_pandas()
+            if len(stats):
+                em["rows_in"] = int(stats["rows_in"].sum())
+                em["late_dropped"] = int(stats["late_dropped"].sum())
+                em["max_ts_us"] = int(stats["max_ts_us"].max())
+                self._ingest_expected += int(stats["ingest_calls"].sum())
+            self._ingest_barrier()
+        if em["max_ts_us"] >= 0:
+            self.watermark_s = max(
+                self.watermark_s, em["max_ts_us"] // 1_000_000 - self.lateness_s
+            )
+        self._emit(epoch, self.watermark_s)
+        em["watermark_s"] = self.watermark_s
+        self.metrics[str(epoch)] = em
+
+    def _emit(self, epoch: int, watermark_s: int):
+        tables = [
+            t for t in ray.get(
+                [a.close_windows.remote(watermark_s) for a in self.actors]
+            )
+            if t.num_rows
+        ]
+        if tables:
+            out = pa.concat_tables(tables)
+            self.sink.commit(epoch, out,
+                             sort_by=["key", "window_start_s", "item"])
         else:
             self.sink.commit(epoch, pa.table({}))
 

@@ -559,3 +559,132 @@ def test_session_crash_resume_exactly_once(ray_session):
     finally:
         shutil.rmtree(out1, ignore_errors=True)
         shutil.rmtree(out2, ignore_errors=True)
+
+
+# -- Count-Min streaming state kind ------------------------------------------
+
+
+def _cms_expected(fix: str, size_s: int, probe_mod: int) -> pd.DataFrame:
+    """Exact probe counts per (key, window) over ALL fixture rows."""
+    fs = sorted(glob.glob(os.path.join(fix, "arrival=*", "*.parquet")))
+    df = pa.concat_tables([pq.read_table(f) for f in fs]).to_pandas()
+    df = df[df["user_id"] % probe_mod == 0]
+    df["w"] = (df["ts_us"] // 1_000_000 // size_s) * size_s
+    out = (
+        df.groupby(["event_type", "w", "user_id"])
+        .size()
+        .reset_index(name="n")
+        .rename(columns={"event_type": "key", "w": "window_start_s",
+                         "user_id": "item"})
+    )
+    return out.sort_values(
+        ["key", "window_start_s", "item"], ignore_index=True
+    ).astype({"window_start_s": np.int64, "item": np.int64, "n": np.int64})
+
+
+def test_cms_streamed_counts_exact_and_gated(ray_session):
+    """Streaming Count-Min: probe-item exact counts equal batch truth,
+    the sketch estimate never under-counts, every row passes the
+    over-count gate at test scale, and a re-run is deterministic."""
+    from raystat.streaming.sketch import CmsStreamDriver
+
+    fix = events_stream_fixture(SF, n_epochs=4)
+    outs = []
+    try:
+        for _ in range(2):
+            out = tempfile.mkdtemp(prefix="rs_cms_")
+            outs.append(out)
+            drv = CmsStreamDriver(
+                fix, out, window_size_s=WEEK, allowed_lateness_s=LATENESS,
+                probe_mod=3, n_partitions=4,
+            )
+            drv.run()
+        a, b = (
+            CmsStreamDriver(fix, o, window_size_s=WEEK).sink.read_all().to_pandas()
+            for o in outs
+        )
+        a = a.sort_values(["key", "window_start_s", "item"], ignore_index=True)
+        b = b.sort_values(["key", "window_start_s", "item"], ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+
+        exp = _cms_expected(fix, WEEK, 3)
+        got = a[["key", "window_start_s", "item", "n"]]
+        pd.testing.assert_frame_equal(got, exp)
+        assert (a["cms_est"] >= a["n"]).all()
+        assert a["within_bound"].all()
+    finally:
+        for o in outs:
+            shutil.rmtree(o, ignore_errors=True)
+
+
+def test_cms_crash_resume_exactly_once(ray_session):
+    from raystat.streaming.sketch import CmsStreamDriver
+
+    fix = events_stream_fixture(SF, n_epochs=4)
+    out1 = tempfile.mkdtemp(prefix="rs_cms_")
+    out2 = tempfile.mkdtemp(prefix="rs_cms_")
+    try:
+        kw = dict(window_size_s=WEEK, allowed_lateness_s=LATENESS,
+                  probe_mod=3, n_partitions=4)
+        ref = CmsStreamDriver(fix, out1, **kw)
+        ref.run()
+        cols = ["key", "window_start_s", "item", "n", "cms_est", "within_bound"]
+        expected = ref.result_table().to_pandas().sort_values(
+            ["key", "window_start_s", "item"], ignore_index=True
+        )[cols]
+
+        d1 = CmsStreamDriver(fix, out2, **kw)
+        d1.run(stop_after_epoch=1)
+        d2 = CmsStreamDriver(fix, out2, **kw)
+        d2.run(resume=True)
+        got = d2.result_table().to_pandas().sort_values(
+            ["key", "window_start_s", "item"], ignore_index=True
+        )[cols]
+        pd.testing.assert_frame_equal(got, expected)
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_cms_hopping_windows_cover_both(ray_session):
+    """Hopping mode: each event feeds BOTH covering windows; probe
+    counts per window equal the batch hopping expansion."""
+    from raystat.streaming.sketch import CmsStreamDriver
+
+    fix = events_stream_fixture(SF, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="rs_cms_hop_")
+    try:
+        size, hop = 2 * 86400, 86400
+        drv = CmsStreamDriver(
+            fix, out, window_size_s=size, hop_s=hop,
+            allowed_lateness_s=LATENESS, probe_mod=3, n_partitions=4,
+        )
+        drv.run()
+        got = drv.result_table().to_pandas().sort_values(
+            ["key", "window_start_s", "item"], ignore_index=True
+        )
+        fs = sorted(glob.glob(os.path.join(fix, "arrival=*", "*.parquet")))
+        df = pa.concat_tables([pq.read_table(f) for f in fs]).to_pandas()
+        df = df[df["user_id"] % 3 == 0]
+        ts_s = df["ts_us"] // 1_000_000
+        rows = []
+        for off in range(size // hop):
+            w = ((ts_s - off * hop) // size) * size + off * hop
+            d = df.assign(window_start_s=w)
+            rows.append(d[w + size > ts_s])  # window covers the event
+        exp = (
+            pd.concat(rows)
+            .groupby(["event_type", "window_start_s", "user_id"])
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"event_type": "key", "user_id": "item"})
+            .sort_values(["key", "window_start_s", "item"], ignore_index=True)
+            .astype({"window_start_s": np.int64, "item": np.int64,
+                     "n": np.int64})
+        )
+        pd.testing.assert_frame_equal(
+            got[["key", "window_start_s", "item", "n"]], exp
+        )
+        assert got["within_bound"].all()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
