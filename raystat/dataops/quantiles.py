@@ -23,6 +23,7 @@ import pyarrow as pa
 
 __all__ = [
     "grouped_exact_quantiles",
+    "grouped_weighted_quantiles",
     "grouped_trimmed_mean",
     "grouped_mode",
     "grouped_mad",
@@ -72,6 +73,66 @@ def grouped_exact_quantiles(
         ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby([key, value])
         .aggregate(Sum("n", alias_name="n"))
+        .groupby(key)
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def grouped_weighted_quantiles(
+    ds,
+    key: str,
+    value: str,
+    weight: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    names: tuple[str, ...] = ("wp25", "wp50", "wp75", "wp90"),
+):
+    """(key, *names) — exact per-group WEIGHTED quantiles of an
+    integer column with non-negative INTEGER weights: the smallest
+    value whose cumulative weight reaches ``q x total_weight`` —
+    the mass-based analog of ``quantile_disc``, completing the
+    reference's weighted-moments family (weighted stddev / skew /
+    kurt) with weighted order statistics.
+
+    Same mergeable two-stage shape as the unweighted path, with the
+    per-batch histogram carrying sum(weight) instead of counts —
+    shuffle stays |groups| x |distinct values| x #batches, row-count
+    independent.  Integer weights keep the cumulative sums EXACT
+    (float weights would make the cumsum order-dependent); the
+    ``cw >= q*tw`` threshold compare is then one IEEE double multiply
+    both here and in the SQL twin — bit-identical."""
+    from ray.data.aggregate import Sum
+
+    assert len(qs) == len(names)
+    qs_arr = np.asarray(qs, dtype=np.float64)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        w = batch[weight].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (w < 0).any():
+            raise ValueError("weighted quantiles need non-negative weights")
+        df = pd.DataFrame(
+            {
+                key: batch[key].to_pandas(),
+                value: batch[value].to_numpy(zero_copy_only=False).astype(np.int64),
+                "wn": w,
+            }
+        )
+        g = df.groupby([key, value], sort=False)["wn"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value, ignore_index=True)
+        c = g["wn"].to_numpy().cumsum()
+        tw = int(c[-1])
+        idx = np.searchsorted(c, qs_arr * tw, side="left")
+        v = g[value].to_numpy()[np.minimum(idx, len(c) - 1)]
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], **{nm: [int(x)] for nm, x in zip(names, v)}}
+        )
+
+    return (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key, value])
+        .aggregate(Sum("wn", alias_name="wn"))
         .groupby(key)
         .map_groups(finalize, batch_format="pandas")
     )

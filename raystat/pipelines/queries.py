@@ -2762,6 +2762,62 @@ QUERIES.append(
 )
 
 
+def _q_weighted_quantity_quantiles(sf_dir):
+    """Exact REVENUE-WEIGHTED quantity quantiles per return flag
+    (quantiles.py grouped_weighted_quantiles): the smallest quantity
+    whose cumulative extended-price mass reaches q x total — weighted
+    order statistics completing the reference's weighted-moments
+    family (weighted stddev/skew/kurt have a weighted median sibling).
+    Prices quantize to integer CENTS in the ingest map so the
+    cumulative sums are exact integers (a float-weight cumsum would be
+    order-dependent); the q*total threshold is then one IEEE double
+    multiply, bit-identical to the SQL window-cumsum twin."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raystat.dataops.quantiles import grouped_weighted_quantiles
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty": pa.array(q.astype(np.int64)),
+                "w_cents": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    ).map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_weighted_quantiles(
+        ds, key="l_returnflag", value="qty", weight="w_cents"
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "weighted_quantity_quantiles",
+        _q_weighted_quantity_quantiles,
+        """WITH t AS (SELECT l_returnflag, cast(l_quantity as bigint) AS v,
+                             cast(round(l_extendedprice*100) as bigint) AS w
+                      FROM lineitem),
+             h AS (SELECT l_returnflag, v, sum(w) AS wn FROM t GROUP BY 1, 2),
+             c AS (SELECT l_returnflag, v,
+                          sum(wn) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+                          sum(wn) OVER (PARTITION BY l_returnflag) AS tw
+                   FROM h)
+           SELECT l_returnflag,
+                  min(CASE WHEN cw >= 0.25*tw THEN v END) AS wp25,
+                  min(CASE WHEN cw >= 0.5*tw  THEN v END) AS wp50,
+                  min(CASE WHEN cw >= 0.75*tw THEN v END) AS wp75,
+                  min(CASE WHEN cw >= 0.9*tw  THEN v END) AS wp90
+           FROM c GROUP BY l_returnflag""",
+    )
+)
+
+
 def _q_kll_accuracy(sf_dir):
     """KLL quantile sketch (the continuous-domain scale path of the
     quantile engine) gated against exact quantile BRACKETS from the

@@ -1698,3 +1698,48 @@ def test_cms_never_undercounts_and_merges_linearly(ray_session):
         local = cms_add(cms_init(), vals[mask])
         assert np.frombuffer(out.loc[key, "cms"], dtype=np.int64).tolist() == local.tolist()
         assert out.loc[key, "n"] == mask.sum()
+
+
+def test_weighted_quantiles_exact_vs_bruteforce(ray_session):
+    """Weighted quantiles: smallest value whose cumulative weight
+    reaches q x total — equals the expanded-multiset quantile for
+    integer weights, block-layout invariant, and negative weights are
+    rejected."""
+    import ray.data as rd
+
+    from raystat.dataops.quantiles import grouped_weighted_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    vals = rng.integers(0, 60, size=n).astype(np.int64)
+    w = rng.integers(0, 9, size=n).astype(np.int64)  # includes zeros
+    keys = np.where(vals % 2 == 0, "a", "b").astype(object)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals), "w": pa.array(w)})
+
+    def run(nblocks):
+        return to_pandas(
+            grouped_weighted_quantiles(
+                rd.from_arrow(t).repartition(nblocks), "k", "v", "w"
+            )
+        ).sort_values("k", ignore_index=True)
+
+    a, b = run(1), run(8)
+    pd.testing.assert_frame_equal(a, b)
+
+    for key in ("a", "b"):
+        m = keys == key
+        expanded = np.sort(np.repeat(vals[m], w[m]))
+        row = a[a["k"] == key].iloc[0]
+        for q, nm in ((0.25, "wp25"), (0.5, "wp50"), (0.75, "wp75"), (0.9, "wp90")):
+            # smallest value with cumweight >= q * total == element at
+            # rank ceil(q*N)-1 of the weight-expanded multiset
+            want = expanded[min(int(np.ceil(q * len(expanded))) - 1,
+                                len(expanded) - 1)]
+            assert row[nm] == want, (key, nm, row[nm], want)
+
+    bad = pa.table(
+        {"k": pa.array(["a"]), "v": pa.array([1], pa.int64()),
+         "w": pa.array([-1], pa.int64())}
+    )
+    with pytest.raises(Exception):
+        to_pandas(grouped_weighted_quantiles(rd.from_arrow(bad), "k", "v", "w"))
