@@ -1743,3 +1743,28 @@ def test_weighted_quantiles_exact_vs_bruteforce(ray_session):
     )
     with pytest.raises(Exception):
         to_pandas(grouped_weighted_quantiles(rd.from_arrow(bad), "k", "v", "w"))
+
+
+def test_hll_set_algebra_inclusion_exclusion():
+    """HLL union is the register max-merge (idempotent under repeats)
+    and inclusion-exclusion recovers intersection sizes within the
+    sketch's error envelope on controlled-overlap sets."""
+    from raystat.dataops.sketches import _M, _rho_and_idx, hll_estimate
+
+    def regs_of(values):
+        r = np.zeros(_M, dtype=np.uint8)
+        idx, rho = _rho_and_idx(np.asarray(values, dtype=np.int64))
+        np.maximum.at(r, idx, rho)
+        return r
+
+    a = np.arange(0, 6000)
+    b = np.arange(4000, 10000)  # |A∩B| = 2000
+    ra, rb = regs_of(a), regs_of(b)
+    # idempotence: re-adding duplicated occurrences changes nothing
+    assert (regs_of(np.concatenate([a, a, a])) == ra).all()
+    union = np.maximum(ra, rb)
+    assert (union == np.maximum(rb, ra)).all()
+    est_inter = hll_estimate(ra) + hll_estimate(rb) - hll_estimate(union)
+    assert abs(est_inter - 2000) / 2000 < 0.10
+    est_union = hll_estimate(union)
+    assert abs(est_union - 10000) / 10000 < 0.05
