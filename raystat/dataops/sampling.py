@@ -31,6 +31,7 @@ __all__ = [
     "sample_k_per_group",
     "mixture_sample_rates",
     "mixture_sample",
+    "global_shuffle_rank",
 ]
 
 # (name, upper-bound pct) cumulative: h<80 train, h<90 val, else test
@@ -208,3 +209,65 @@ def mixture_sample(ds, key_col: str = "source", mass_col: str = "n_chars",
         return batch.filter(pa.array((hv < thr) | full))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def global_shuffle_rank(ds, id_col: str = "doc_id", n_buckets: int = 256):
+    """Deterministic GLOBAL shuffle order for training export: every
+    row's position in the corpus ordered by ``splitmix64(id)`` — the
+    coordination-free equivalent of ``random_shuffle`` that is stable
+    under reruns, repartitioning and cluster size (and resumable: the
+    order is a pure function of ids).
+
+    Scale shape — a distributed rank without a monolithic sort: the
+    hash is uniform on u64, so FIXED range buckets ``hv >> shift``
+    are balanced with no boundary pass; pass 1 counts rows per bucket
+    (O(n_buckets) driver scan for the exclusive prefix offsets), pass
+    2 shuffles by bucket once and ranks inside each bucket with one
+    vectorized argsort + its bucket offset.  No task ever sorts more
+    than one bucket (#buckets scales with cluster size); the driver
+    holds O(n_buckets) integers.  Returns (id, shuffle_pos)."""
+    import pandas as pd
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    shift = np.uint64(64 - n_buckets.bit_length() + 1)
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = splitmix64(ids.astype(np.uint64))
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "hv": pa.array(hv, pa.uint64()),
+                "bucket": pa.array((hv >> shift).astype(np.int64)),
+            }
+        )
+
+    counts = {
+        r["bucket"]: r["count()"]
+        for r in ds.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .count()
+        .take_all()  # O(n_buckets) rows
+    }
+    offsets = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        hv = g["hv"].to_numpy().astype(np.uint64)
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, hv))
+        pos = np.empty(len(g), dtype=np.int64)
+        pos[order] = offsets[int(g["bucket"].iloc[0])] + np.arange(
+            len(g), dtype=np.int64
+        )
+        return pd.DataFrame({id_col: ids, "shuffle_pos": pos})
+
+    return (
+        ds.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )

@@ -1888,6 +1888,33 @@ QUERIES.append(
 )
 
 
+def _q_shuffle_rank(sf_dir):
+    """Deterministic GLOBAL corpus shuffle for training export
+    (sampling.py global_shuffle_rank): every doc's position under the
+    splitmix64 order — random_shuffle semantics, but a pure function
+    of ids (stable under reruns/cluster size, resumable).  Distributed
+    rank without a monolithic sort: uniform fixed hash-range buckets,
+    an O(n_buckets) driver offset scan, one bucket-keyed shuffle, and
+    a per-bucket vectorized argsort."""
+    from raystat.dataops.sampling import global_shuffle_rank
+
+    return global_shuffle_rank(
+        _read(sf_dir, "documents", ["doc_id"]), n_buckets=256
+    ).select_columns(["doc_id", "shuffle_pos"])
+
+
+QUERIES.append(
+    QueryDef(
+        "shuffle_rank_documents",
+        _q_shuffle_rank,
+        f"""WITH {SPLITMIX_FULL_CTE}
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY hv, doc_id) - 1 AS shuffle_pos
+            FROM smf""",
+    )
+)
+
+
 def _q_token_vocab(sf_dir):
     """Corpus vocabulary histogram (token id -> total occurrences).
     Per-batch np.bincount partials collapse each batch to at most

@@ -1768,3 +1768,39 @@ def test_hll_set_algebra_inclusion_exclusion():
     assert abs(est_inter - 2000) / 2000 < 0.10
     est_union = hll_estimate(union)
     assert abs(est_union - 10000) / 10000 < 0.05
+
+
+def test_global_shuffle_rank_is_hash_permutation(ray_session):
+    """Global shuffle rank: a permutation of 0..n-1 equal to the
+    argsort of splitmix64(id), invariant to block layout, with the
+    driver holding only O(n_buckets) offsets."""
+    import ray.data as rd
+
+    from raystat.dataops.pairs import splitmix64
+    from raystat.dataops.sampling import global_shuffle_rank
+
+    ids = np.arange(0, 4000, dtype=np.int64)
+    rng = np.random.default_rng(3)
+    rng.shuffle(ids)  # arrival order must not matter
+    t = pa.table({"doc_id": pa.array(ids)})
+
+    def run(nblocks):
+        return (
+            to_pandas(
+                global_shuffle_rank(
+                    rd.from_arrow(t).repartition(nblocks), n_buckets=64
+                )
+            )
+            .sort_values("doc_id", ignore_index=True)
+        )
+
+    a, b = run(2), run(16)
+    pd.testing.assert_frame_equal(a, b)
+    pos = a["shuffle_pos"].to_numpy()
+    assert sorted(pos.tolist()) == list(range(len(ids)))
+    hv = splitmix64(a["doc_id"].to_numpy().astype(np.uint64))
+    # position order must equal ascending-hash order
+    assert (np.argsort(pos) == np.argsort(hv)).all()
+
+    with pytest.raises(ValueError):
+        global_shuffle_rank(rd.from_arrow(t), n_buckets=100)
