@@ -40,6 +40,7 @@ __all__ = [
     "cms_add_weighted",
     "cms_merge",
     "cms_estimate",
+    "cms_join_size",
     "grouped_cms",
 ]
 
@@ -299,6 +300,17 @@ def cms_estimate(counts: np.ndarray, values: np.ndarray) -> np.ndarray:
     if not len(values):
         return np.zeros(0, dtype=np.int64)
     return counts[_cms_flat_idx(values)].min(axis=0)
+
+
+def cms_join_size(a: np.ndarray, b: np.ndarray) -> int:
+    """Equi-join cardinality estimate (Cormode-Muthukrishnan §4.2):
+    min over rows of the per-row inner product of two sketches built
+    with the SAME hashes — estimates sum_v fA(v)*fB(v), never below
+    the true join size, over by at most (e/WIDTH)*N_A*N_B with prob
+    1 - e**-DEPTH."""
+    ra = a.reshape(CMS_DEPTH, CMS_WIDTH)
+    rb = b.reshape(CMS_DEPTH, CMS_WIDTH)
+    return int((ra * rb).sum(axis=1).min())
 
 
 def grouped_cms(ds, key: str, value: str):

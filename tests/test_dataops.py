@@ -1804,3 +1804,28 @@ def test_global_shuffle_rank_is_hash_permutation(ray_session):
 
     with pytest.raises(ValueError):
         global_shuffle_rank(rd.from_arrow(t), n_buckets=100)
+
+
+def test_cms_join_size_never_undercounts():
+    """CMS inner-product join-size estimate: >= the true equi-join
+    cardinality always, within the (e/W)*Na*Nb bound on controlled
+    data, and symmetric in its arguments."""
+    from raystat.dataops.sketches import (
+        CMS_WIDTH,
+        cms_add,
+        cms_init,
+        cms_join_size,
+    )
+
+    rng = np.random.default_rng(5)
+    a_vals = rng.integers(0, 300, size=4000).astype(np.int64)
+    b_vals = rng.integers(100, 400, size=2500).astype(np.int64)
+    sa = cms_add(cms_init(), a_vals)
+    sb = cms_add(cms_init(), b_vals)
+    ca = np.bincount(a_vals, minlength=400)
+    cb = np.bincount(b_vals, minlength=400)
+    true_join = int((ca * cb).sum())
+    est = cms_join_size(sa, sb)
+    assert est >= true_join
+    assert est - true_join <= np.e * len(a_vals) * len(b_vals) / CMS_WIDTH
+    assert cms_join_size(sb, sa) == est
