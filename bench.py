@@ -396,6 +396,28 @@ def main() -> None:
     ).count()
     queries["hll_distinct_users"] = round(time.time() - t0, 3)
 
+    # round-5 additions: streaming Count-Min state, global shuffle
+    # rank, weighted quantiles, temperature mixture sampling
+    from raystat.pipelines.queries import (
+        _q_mixture_sample,
+        _q_shuffle_rank,
+        _q_streaming_cms_user_counts,
+        _q_weighted_quantity_quantiles,
+    )
+
+    t0 = time.time()
+    _q_streaming_cms_user_counts(SF_DIR)
+    queries["streaming_cms_user_counts"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _q_shuffle_rank(SF_DIR).count()
+    queries["shuffle_rank_documents"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _q_weighted_quantity_quantiles(SF_DIR).count()
+    queries["weighted_quantity_quantiles"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _q_mixture_sample(SF_DIR).count()
+    queries["mixture_sample_documents"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {

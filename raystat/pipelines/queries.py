@@ -4655,16 +4655,22 @@ def _q_cms_join_size(sf_dir):
         )
         return agg.rename_columns(["event_type", "user_id", "n"])
 
-    cnt = (
+    def product(g: pd.DataFrame) -> pd.DataFrame:
+        # one user's click x purchase contribution — the exact join
+        # count stays distributed (keyed by user), never a driver frame
+        cn = int(g.loc[g["event_type"] == "click", "n"].sum())
+        pn = int(g.loc[g["event_type"] == "purchase", "n"].sum())
+        return pd.DataFrame({"j": [cn * pn]})
+
+    true_join = int(
         _read(sf_dir, "events", ["event_type", "user_id"])
         .map_batches(side_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "user_id"])
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .groupby("user_id")
+        .map_groups(product, batch_format="pandas")
+        .sum("j")
     )
-    c = cnt[cnt["event_type"] == "click"].set_index("user_id")["n"]
-    p = cnt[cnt["event_type"] == "purchase"].set_index("user_id")["n"]
-    true_join = int((c * p).dropna().sum())
     return pd.DataFrame(
         {
             "join_rows": [np.int64(true_join)],
