@@ -2717,6 +2717,67 @@ QUERIES.append(
 )
 
 
+def _q_clean_mixture_sample(sf_dir):
+    """The composed corpus-prep pipeline EXTENDED through the
+    temperature-mixing stage — exact-dedup survivors -> quality filter
+    (score >= 0.35) -> mixture_sample over the FILTERED char mass —
+    emitting the final (doc_id, source) keep set row-for-row.  One
+    streaming chain: dedup's anti-join and the enrich+filter fuse over
+    Arrow batches; the mixture pass adds one O(sources) grouped sum
+    and a pure keep-predicate — the corpus still never shuffles.  The
+    oracle rebuilds every stage in SQL (dedup join, score CTE, mass ->
+    sqrt rate -> splitmix threshold over the filtered set), so the
+    row-level equality check covers the whole composition, not just
+    per-stage marginals."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raystat.dataops.dedup import exact_dedup
+    from raystat.dataops.sampling import mixture_sample
+    from raystat.dataops.text import quality_score_batch
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(batch)
+        mask = pa.array(q["score"].to_numpy(zero_copy_only=False) >= 0.35)
+        return pa.table(
+            {
+                "doc_id": pc.filter(batch["doc_id"], mask),
+                "source": pc.filter(batch["source"], mask),
+                "n_chars": pc.filter(pc.cast(q["n_chars"], pa.int64()), mask),
+            }
+        )
+
+    ds = exact_dedup(_docs(sf_dir)).map_batches(enrich, batch_format="pyarrow")
+    return mixture_sample(ds).select_columns(["doc_id", "source"])
+
+
+# the splitmix hash chain of SPLITMIX_FULL_CTE, re-rooted on the
+# cleaned+filtered doc set instead of the raw documents table
+_SM_CHAIN_F = SPLITMIX_FULL_CTE.replace("FROM documents", "FROM f")
+
+QUERIES.append(
+    QueryDef(
+        "clean_mixture_sample_documents",
+        _q_clean_mixture_sample,
+        f"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+            d AS (SELECT dd.* FROM documents dd JOIN surv USING (doc_id)),
+            qq AS (SELECT doc_id, source, length(text) AS nc,
+                     {NTOKD}/({NTOKD}+100.0) - {PUNCT_RATIO_SQL} + {STOP_RATIO_SQL} AS score
+                   FROM d),
+            f AS (SELECT doc_id, source, nc FROM qq WHERE score >= 0.35),
+            cnt AS (SELECT source, cast(sum(nc) as double) AS cs FROM f GROUP BY source),
+            mx AS (SELECT max(cs) AS cmax FROM cnt),
+            rate AS (SELECT source, least(1.0, 0.5 * sqrt(cmax / cs)) AS r
+                     FROM cnt, mx),
+            {_SM_CHAIN_F}
+            SELECT s.doc_id, s.source FROM smf s JOIN rate USING (source)
+            WHERE r >= 1.0
+               OR cast(s.hv as uhugeint)
+                  < cast(floor(r * 18446744073709551616.0) as uhugeint)""",
+    )
+)
+
+
 def _q_chunk_documents(sf_dir):
     """Per-document fixed-length chunk summaries (zero-shuffle
     map_batches over the derived token table)."""
