@@ -54,12 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (standalone only)")
     p.add_argument(
         "--driver",
-        choices=["agg", "hll", "mg", "kll", "cms", "cep", "dedup", "asof"],
+        choices=["agg", "hll", "mg", "kll", "cms", "bottomk", "cep", "dedup", "asof"],
         default="agg",
         help="stream kind: agg = windowed moment aggregates (default); "
         "hll = windowed approximate distinct; mg = windowed heavy hitters; "
         "kll = windowed quantile sketch; cms = windowed Count-Min "
-        "frequency estimates; cep = deadline-bounded funnels; "
+        "frequency estimates; bottomk = windowed deterministic sample; "
+        "cep = deadline-bounded funnels; "
         "dedup = first-occurrence exact dedup; asof = temporal join",
     )
     p.add_argument("--key", default="event_type",
@@ -126,6 +127,19 @@ def _specialized_driver(args):
                 "(no --session-gap); use --driver mg for session counters"
             )
         return CmsStreamDriver(
+            args.input, args.out, key=args.key, item=args.value,
+            ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
+            allowed_lateness_s=args.lateness, n_partitions=args.partitions,
+            batch_size=args.batch_size,
+        )
+    if args.driver == "bottomk":
+        from raystat.streaming.sketch import BottomKStreamDriver
+
+        if args.session_gap is not None:
+            build_parser().error(
+                "--driver bottomk supports tumbling/hopping windows only"
+            )
+        return BottomKStreamDriver(
             args.input, args.out, key=args.key, item=args.value,
             ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
             allowed_lateness_s=args.lateness, n_partitions=args.partitions,

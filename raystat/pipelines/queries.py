@@ -5319,6 +5319,80 @@ QUERIES.append(
 )
 
 
+def _q_streaming_sample_users(sf_dir):
+    """STREAMING windowed deterministic sampling (streaming/sketch.py
+    BottomKStreamDriver): per-(event_type, 7-day window) the k=5
+    DISTINCT users with the smallest splitmix64(user_id) — the
+    coordination-free reservoir as a stream state kind.  The min-union
+    merge is idempotent (like the HLL registers), state is O(k) per
+    open window, and the sample is a pure function of the item set —
+    so unlike every gated sketch row, the oracle here is EXACT: the
+    SQL twin recomputes the same splitmix bottom-5 row for row."""
+    import shutil
+    import tempfile
+
+    from raystat.streaming.sketch import (
+        BottomKStreamDriver,
+        events_stream_fixture,
+    )
+
+    fix = events_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_bk_q_")
+    try:
+        drv = BottomKStreamDriver(
+            fix, out, key="event_type", item="user_id", ts_col="ts_us",
+            window_size_s=7 * DAY, allowed_lateness_s=200 * 3600,
+            k=5, n_partitions=8,
+        )
+        drv.run()
+        t = drv.result_table().to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    t = t.rename(
+        columns={"key": "event_type", "window_start_s": "window_start",
+                 "item": "user_id"}
+    )
+    return t[["event_type", "window_start", "user_id", "rank"]]
+
+
+# splitmix64 chain over user_id (the doc-id chain of SPLITMIX_FULL_CTE,
+# re-rooted on the distinct (event_type, window, user) incidence)
+_SM_USER_CHAIN = f"""su0 AS (
+     SELECT event_type, window_start, user_id,
+       cast((cast(cast(user_id as bigint) as uhugeint) + 11400714819323198485)
+            % {_SM_MOD} as ubigint) AS z
+     FROM b
+   ), su1 AS (SELECT event_type, window_start, user_id, xor(z, z >> 30) AS z FROM su0
+   ), su2 AS (SELECT event_type, window_start, user_id,
+       cast((cast(z as uhugeint) * 13787848793156543929) % {_SM_MOD} as ubigint) AS z
+     FROM su1
+   ), su3 AS (SELECT event_type, window_start, user_id, xor(z, z >> 27) AS z FROM su2
+   ), su4 AS (SELECT event_type, window_start, user_id,
+       cast((cast(z as uhugeint) * 10723151780598845931) % {_SM_MOD} as ubigint) AS z
+     FROM su3
+   ), suf AS (SELECT event_type, window_start, user_id, xor(z, z >> 31) AS hv FROM su4)"""
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_sample_users",
+        _q_streaming_sample_users,
+        f"""WITH b AS (SELECT DISTINCT event_type,
+                      cast(floor(epoch(ts)/{7 * DAY})*{7 * DAY} as bigint) AS window_start,
+                      user_id
+               FROM events),
+            {_SM_USER_CHAIN},
+            r AS (SELECT event_type, window_start, user_id,
+                         row_number() OVER (
+                             PARTITION BY event_type, window_start
+                             ORDER BY hv, user_id) AS rank
+                  FROM suf)
+            SELECT event_type, window_start, user_id, rank
+            FROM r WHERE rank <= 5""",
+    )
+)
+
+
 def _q_streaming_distinct_hopping(sf_dir):
     """The streaming HLL distinct count over HOPPING windows (size 2
     days, hop 1 day): every row's register partial feeds BOTH covering

@@ -38,6 +38,7 @@ import ray
 
 from raystat.dataops.asof import _key_u64
 from raystat.dataops.kll import KLL
+from raystat.dataops.pairs import splitmix64
 from raystat.dataops.sketches import (
     _M,
     _cms_flat_idx,
@@ -53,7 +54,7 @@ from raystat.streaming.sink import ExactlyOnceParquetSink
 
 __all__ = [
     "HllStreamDriver", "MgStreamDriver", "KllStreamDriver",
-    "CmsStreamDriver", "events_stream_fixture",
+    "CmsStreamDriver", "BottomKStreamDriver", "events_stream_fixture",
 ]
 
 _NEG = -(2**62)
@@ -2385,6 +2386,320 @@ class CmsStreamDriver(EpochDriverBase):
             out = pa.concat_tables(tables)
             self.sink.commit(epoch, out,
                              sort_by=["key", "window_start_s", "item"])
+        else:
+            self.sink.commit(epoch, pa.table({}))
+
+    def _finalize_stream(self, final_epoch: int):
+        self._emit(final_epoch, 2**62)
+        self.metrics["final"] = {
+            "epoch": final_epoch,
+            "state_metrics": ray.get([a.get_metrics.remote() for a in self.actors]),
+        }
+
+    def result_table(self) -> pa.Table:
+        return self.sink.read_all()
+
+
+# -- Bottom-k windowed sample (coordination-free reservoir) ------------------
+
+
+@ray.remote(num_cpus=0)
+class BottomKStatePartition:
+    """Deterministic per-(key, window) bottom-k sample state for one
+    key-hash partition: the k DISTINCT items with the smallest
+    ``splitmix64(item)`` (ties by item) — the coordination-free
+    reservoir (bottom-k sketch).  State merge is a k-truncated
+    min-union with (hv, item) dedup, which is ASSOCIATIVE, COMMUTATIVE
+    and IDEMPOTENT — like the HLL max-merge, replayed or reordered
+    partials can never change the sample, and the streamed sample per
+    window is exactly the batch bottom-k over the same rows.  State is
+    O(k) per open (key, window) regardless of row count or item
+    domain; unlike an RNG reservoir the result is a pure function of
+    the item set (rerun/cluster-size stable, resumable for free)."""
+
+    def __init__(self, pid: int, window_size_s: int, k: int):
+        self.pid = pid
+        self.size_s = int(window_size_s)
+        self.k = int(k)
+        self.pending: list[pa.Table] = []
+        self.state: dict[tuple, tuple] = {}  # (key, ws) -> (hv u64[], item i64[])
+        self.error: str | None = None
+        self.metrics = {"partial_rows_in": 0, "ingests": 0,
+                        "windows_closed": 0}
+
+    def ingest_count(self) -> int:
+        if self.error is not None:
+            raise RuntimeError(
+                f"bottomk partition {self.pid} ingest failed: {self.error}"
+            )
+        return self.metrics["ingests"]
+
+    def ingest(self, table: pa.Table) -> int:
+        try:
+            n = table.num_rows
+            if n:
+                self.pending.append(table)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:
+            self.error = repr(e)
+            n = 0
+        self.metrics["ingests"] += 1
+        return n
+
+    def _merge_group(self, kk: tuple, hv: np.ndarray, items: np.ndarray):
+        if kk in self.state:
+            oh, oi = self.state[kk]
+            hv = np.concatenate([oh, hv])
+            items = np.concatenate([oi, items])
+        order = np.lexsort((items, hv))
+        hv, items = hv[order], items[order]
+        keep = np.ones(hv.size, dtype=bool)  # dedup identical (hv, item)
+        keep[1:] = (hv[1:] != hv[:-1]) | (items[1:] != items[:-1])
+        hv, items = hv[keep][: self.k], items[keep][: self.k]
+        self.state[kk] = (hv, items)
+
+    def _consolidate(self) -> None:
+        if not self.pending:
+            return
+        new = pa.concat_tables(self.pending)
+        self.pending = []
+        keys = new["key"].to_numpy(zero_copy_only=False)
+        ws = new["window_start_s"].to_numpy(zero_copy_only=False)
+        hv = new["hv"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        items = new["item"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"key": keys, "ws": ws})
+        for (k, w), g in df.groupby(["key", "ws"], sort=False):
+            ix = g.index.to_numpy()
+            self._merge_group((k, int(w)), hv[ix], items[ix])
+
+    def close_windows(self, watermark_s) -> pa.Table:
+        self._consolidate()
+        empty = pa.table(
+            {"key": pa.array([], pa.string()),
+             "window_start_s": pa.array([], pa.int64()),
+             "item": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}
+        )
+        closed = [kk for kk in self.state if kk[1] + self.size_s <= watermark_s]
+        if not closed:
+            return empty
+        outs = []
+        for kk in sorted(closed):
+            hv, items = self.state.pop(kk)
+            outs.append(pa.table(
+                {"key": pa.array([kk[0]] * len(items), pa.string()),
+                 "window_start_s": pa.array(
+                     np.full(len(items), kk[1], dtype=np.int64)),
+                 "item": pa.array(items.astype(np.int64)),
+                 "rank": pa.array(
+                     np.arange(1, len(items) + 1, dtype=np.int64))}
+            ))
+        self.metrics["windows_closed"] += len(closed)
+        return pa.concat_tables(outs) if outs else empty
+
+    def get_metrics(self) -> dict:
+        return {"partition": self.pid, **self.metrics,
+                "open_windows": len(self.state)}
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._consolidate()
+        path = os.path.join(ckpt_dir, f"bk-p{self.pid:04d}.parquet")
+        ks = sorted(self.state)
+        rows = {"key": [], "window_start_s": [], "hv": [], "item": []}
+        for kk in ks:
+            hv, items = self.state[kk]
+            rows["key"].extend([kk[0]] * len(items))
+            rows["window_start_s"].extend([kk[1]] * len(items))
+            rows["hv"].extend(hv.tolist())
+            rows["item"].extend(items.tolist())
+        t = pa.table(
+            {"key": pa.array(rows["key"], pa.string()),
+             "window_start_s": pa.array(rows["window_start_s"], pa.int64()),
+             "hv": pa.array(np.asarray(rows["hv"], dtype=np.uint64), pa.uint64()),
+             "item": pa.array(np.asarray(rows["item"], dtype=np.int64))}
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        # metrics stay FRESH ('ingests' is the barrier counter)
+        path = os.path.join(ckpt_dir, f"bk-p{self.pid:04d}.parquet")
+        self.pending = []
+        self.state = {}
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        if t.num_rows:
+            self.pending = [t]
+            self._consolidate()
+        return t.num_rows
+
+
+class BottomKRouter:
+    """Fused partial+route stage: distinct (key, window, item) via the
+    C-vectorized composite grouping, hash each DISTINCT item once,
+    then keep only each group's k smallest (hv, item) — the wire is
+    at most k x groups per batch."""
+
+    def __init__(self, actors: list, n_partitions: int, key: str, item: str,
+                 ts_col: str, window_size_s: int, hop_s: int,
+                 watermark_s: int, k: int):
+        self.actors = actors
+        self.P = n_partitions
+        self.key = key
+        self.item = item
+        self.ts_col = ts_col
+        self.size_s = int(window_size_s)
+        self.hop_s = int(hop_s)
+        self.wm = int(watermark_s)
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_in = batch.num_rows
+        ts_s = (
+            batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            // 1_000_000
+        )
+        max_ts = int(ts_s.max()) * 1_000_000 if rows_in else -1
+        row_of, win, late = _covering_windows(ts_s, self.size_s, self.hop_s, self.wm)
+        calls = 0
+        if row_of.size:
+            kd = pc.dictionary_encode(
+                batch[self.key].combine_chunks().take(pa.array(row_of))
+            )
+            kcode = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            kdict = kd.dictionary.to_numpy(zero_copy_only=False)
+            items = batch[self.item].to_numpy(zero_copy_only=False)[row_of]
+            wu, wcode = np.unique(win, return_inverse=True)
+            uit, icode = np.unique(items, return_inverse=True)
+            comp = (kcode * len(wu) + wcode) * len(uit) + icode
+            ucomp = np.unique(comp)  # distinct (group, item)
+            g_of = ucomp // len(uit)
+            it_of = uit[ucomp % len(uit)].astype(np.int64)
+            hv = splitmix64(it_of.astype(np.uint64))
+            order = np.lexsort((it_of, hv, g_of))
+            gs = g_of[order]
+            starts = np.flatnonzero(np.diff(gs, prepend=-1))
+            rank = np.arange(gs.size) - np.repeat(
+                starts, np.diff(np.append(starts, gs.size))
+            )
+            keep = order[rank < self.k]
+            gk = kdict[g_of[keep] // len(wu)]
+            tbl = pa.table(
+                {
+                    "key": pa.array(gk.tolist(), pa.string()),
+                    "window_start_s": pa.array(
+                        wu[g_of[keep] % len(wu)].astype(np.int64), pa.int64()
+                    ),
+                    "item": pa.array(it_of[keep]),
+                    "hv": pa.array(hv[keep], pa.uint64()),
+                }
+            )
+            part = (
+                _key_u64(tbl["key"].to_numpy(zero_copy_only=False))
+                % np.uint64(self.P)
+            ).astype(np.int64)
+            po = np.argsort(part, kind="stable")
+            tbl = tbl.take(pa.array(po))
+            sp = part[po]
+            bounds = np.flatnonzero(np.diff(sp)) + 1
+            s_ = np.concatenate(([0], bounds))
+            e_ = np.concatenate((bounds, [sp.size]))
+            for s, e in zip(s_, e_):
+                self.actors[int(sp[s])].ingest.remote(tbl.slice(int(s), int(e - s)))
+                calls += 1
+        return pa.table(
+            {
+                "max_ts_us": pa.array([max_ts], pa.int64()),
+                "late_dropped": pa.array([late], pa.int64()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "ingest_calls": pa.array([calls], pa.int64()),
+            }
+        )
+
+
+class BottomKStreamDriver(EpochDriverBase):
+    """Epoch loop for streaming windowed deterministic samples: k x
+    groups-per-batch bottom-k partials -> O(k)-per-window min-union
+    state (idempotent) -> exact bottom-k emission when the watermark
+    closes a window, exactly-once per epoch.  Tumbling + hopping."""
+
+    def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
+                 item: str = "user_id", ts_col: str = "ts_us",
+                 window_size_s: int = 86400, hop_s: int | None = None,
+                 allowed_lateness_s: int = 3600, k: int = 5,
+                 n_partitions: int = 8, batch_size: int | None = None):
+        super().__init__(input_dir, out_dir)
+        self.key = key
+        self.item = item
+        self.ts_col = ts_col
+        self.size_s = int(window_size_s)
+        self.hop_s = int(hop_s) if hop_s is not None else self.size_s
+        if self.size_s % self.hop_s:
+            raise ValueError("window_size_s must be a multiple of hop_s")
+        self.lateness_s = int(allowed_lateness_s)
+        self.k = int(k)
+        self.n_partitions = n_partitions
+        self.batch_size = batch_size
+        self.sink = ExactlyOnceParquetSink(out_dir, "bottomk")
+        self.watermark_s = _NEG
+
+    def _ensure_actors(self):
+        if self.actors is None:
+            self.actors = [
+                BottomKStatePartition.remote(p, self.size_s, self.k)
+                for p in range(self.n_partitions)
+            ]
+
+    def _driver_state(self) -> dict:
+        return {"watermark_s": self.watermark_s,
+                "committed": self.sink.committed_epochs()}
+
+    def _load_driver_state(self, state: dict) -> None:
+        self.watermark_s = int(state["watermark_s"])
+
+    def _run_epoch(self, epoch: int):
+        ds = self._epoch_dataset(epoch)
+        em = {"rows_in": 0, "late_dropped": 0, "max_ts_us": -1}
+        if ds is not None:
+            router = BottomKRouter(
+                self.actors, self.n_partitions, self.key, self.item,
+                self.ts_col, self.size_s, self.hop_s, self.watermark_s,
+                self.k,
+            )
+            kwargs = {"batch_format": "pyarrow", "max_retries": 0,
+                      "zero_copy_batch": True}
+            if self.batch_size:
+                kwargs["batch_size"] = self.batch_size
+            stats = ds.map_batches(router, **kwargs).to_pandas()
+            if len(stats):
+                em["rows_in"] = int(stats["rows_in"].sum())
+                em["late_dropped"] = int(stats["late_dropped"].sum())
+                em["max_ts_us"] = int(stats["max_ts_us"].max())
+                self._ingest_expected += int(stats["ingest_calls"].sum())
+            self._ingest_barrier()
+        if em["max_ts_us"] >= 0:
+            self.watermark_s = max(
+                self.watermark_s, em["max_ts_us"] // 1_000_000 - self.lateness_s
+            )
+        self._emit(epoch, self.watermark_s)
+        em["watermark_s"] = self.watermark_s
+        self.metrics[str(epoch)] = em
+
+    def _emit(self, epoch: int, watermark_s: int):
+        tables = [
+            t for t in ray.get(
+                [a.close_windows.remote(watermark_s) for a in self.actors]
+            )
+            if t.num_rows
+        ]
+        if tables:
+            out = pa.concat_tables(tables)
+            self.sink.commit(epoch, out,
+                             sort_by=["key", "window_start_s", "rank"])
         else:
             self.sink.commit(epoch, pa.table({}))
 

@@ -688,3 +688,107 @@ def test_cms_hopping_windows_cover_both(ray_session):
         assert got["within_bound"].all()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# -- Bottom-k streaming sample state kind ------------------------------------
+
+
+def _bk_expected(fix: str, size_s: int, k: int) -> pd.DataFrame:
+    """Exact batch bottom-k by splitmix64(user_id) per (key, window)."""
+    from raystat.dataops.pairs import splitmix64
+
+    fs = sorted(glob.glob(os.path.join(fix, "arrival=*", "*.parquet")))
+    df = pa.concat_tables([pq.read_table(f) for f in fs]).to_pandas()
+    df["w"] = (df["ts_us"] // 1_000_000 // size_s) * size_s
+    df = df.drop_duplicates(["event_type", "w", "user_id"])
+    hv = splitmix64(df["user_id"].to_numpy().astype(np.uint64))
+    df = df.assign(hv=hv)
+    rows = []
+    for (kk, w), g in df.groupby(["event_type", "w"]):
+        g = g.sort_values(["hv", "user_id"]).head(k)
+        for r_i, u in enumerate(g["user_id"], 1):
+            rows.append({"key": kk, "window_start_s": int(w),
+                         "item": int(u), "rank": r_i})
+    return pd.DataFrame(rows).sort_values(
+        ["key", "window_start_s", "rank"], ignore_index=True
+    ).astype({"window_start_s": np.int64, "item": np.int64,
+              "rank": np.int64})
+
+
+def test_bottomk_streamed_sample_equals_batch(ray_session):
+    """Streaming bottom-k sample == the batch bottom-k over the same
+    rows (idempotent min-union), and a re-run is identical."""
+    from raystat.streaming.sketch import BottomKStreamDriver
+
+    fix = events_stream_fixture(SF, n_epochs=4)
+    outs = []
+    try:
+        for _ in range(2):
+            out = tempfile.mkdtemp(prefix="rs_bk_")
+            outs.append(out)
+            BottomKStreamDriver(
+                fix, out, window_size_s=WEEK, allowed_lateness_s=LATENESS,
+                k=5, n_partitions=4,
+            ).run()
+        a, b = (
+            BottomKStreamDriver(fix, o, window_size_s=WEEK)
+            .sink.read_all().to_pandas()
+            .sort_values(["key", "window_start_s", "rank"], ignore_index=True)
+            for o in outs
+        )
+        pd.testing.assert_frame_equal(a, b)
+        pd.testing.assert_frame_equal(a, _bk_expected(fix, WEEK, 5))
+    finally:
+        for o in outs:
+            shutil.rmtree(o, ignore_errors=True)
+
+
+def test_bottomk_crash_resume_exactly_once(ray_session):
+    from raystat.streaming.sketch import BottomKStreamDriver
+
+    fix = events_stream_fixture(SF, n_epochs=4)
+    out1 = tempfile.mkdtemp(prefix="rs_bk_")
+    out2 = tempfile.mkdtemp(prefix="rs_bk_")
+    try:
+        kw = dict(window_size_s=WEEK, allowed_lateness_s=LATENESS,
+                  k=5, n_partitions=4)
+        ref = BottomKStreamDriver(fix, out1, **kw)
+        ref.run()
+        cols = ["key", "window_start_s", "item", "rank"]
+        expected = ref.result_table().to_pandas().sort_values(
+            ["key", "window_start_s", "rank"], ignore_index=True
+        )[cols]
+        d1 = BottomKStreamDriver(fix, out2, **kw)
+        d1.run(stop_after_epoch=1)
+        d2 = BottomKStreamDriver(fix, out2, **kw)
+        d2.run(resume=True)
+        got = d2.result_table().to_pandas().sort_values(
+            ["key", "window_start_s", "rank"], ignore_index=True
+        )[cols]
+        pd.testing.assert_frame_equal(got, expected)
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_bottomk_ingest_idempotent(ray_session):
+    """Replaying the SAME partial table any number of times cannot
+    change the sample (min-union idempotence, the HLL property)."""
+    from raystat.streaming.sketch import BottomKStatePartition
+    from raystat.dataops.pairs import splitmix64
+
+    p = BottomKStatePartition.remote(0, 3600, 3)
+    items = np.array([10, 20, 30, 40, 50], dtype=np.int64)
+    hv = splitmix64(items.astype(np.uint64))
+    t = pa.table(
+        {"key": pa.array(["a"] * 5, pa.string()),
+         "window_start_s": pa.array(np.zeros(5, dtype=np.int64)),
+         "item": pa.array(items),
+         "hv": pa.array(hv, pa.uint64())}
+    )
+    for _ in range(3):
+        ray.get(p.ingest.remote(t))
+    out = ray.get(p.close_windows.remote(10_000)).to_pandas()
+    want = items[np.lexsort((items, hv))][:3]
+    assert out["item"].tolist() == want.tolist()
+    assert out["rank"].tolist() == [1, 2, 3]
