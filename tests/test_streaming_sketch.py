@@ -792,3 +792,53 @@ def test_bottomk_ingest_idempotent(ray_session):
     want = items[np.lexsort((items, hv))][:3]
     assert out["item"].tolist() == want.tolist()
     assert out["rank"].tolist() == [1, 2, 3]
+
+
+def test_bottomk_hopping_windows_cover_both(ray_session):
+    """Hopping mode: each event's user feeds BOTH covering windows;
+    per-window samples equal the batch bottom-k over the expanded
+    incidence."""
+    from raystat.dataops.pairs import splitmix64
+    from raystat.streaming.sketch import BottomKStreamDriver
+
+    fix = events_stream_fixture(SF, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="rs_bk_hop_")
+    try:
+        size, hop = 2 * 86400, 86400
+        drv = BottomKStreamDriver(
+            fix, out, window_size_s=size, hop_s=hop,
+            allowed_lateness_s=LATENESS, k=5, n_partitions=4,
+        )
+        drv.run()
+        got = drv.result_table().to_pandas().sort_values(
+            ["key", "window_start_s", "rank"], ignore_index=True
+        )
+        fs = sorted(glob.glob(os.path.join(fix, "arrival=*", "*.parquet")))
+        df = pa.concat_tables([pq.read_table(f) for f in fs]).to_pandas()
+        ts_s = df["ts_us"] // 1_000_000
+        parts = []
+        for off in range(size // hop):
+            w = ((ts_s - off * hop) // size) * size + off * hop
+            d = df.assign(window_start_s=w)
+            parts.append(d[w + size > ts_s])
+        inc = (
+            pd.concat(parts)
+            .drop_duplicates(["event_type", "window_start_s", "user_id"])
+        )
+        hv = splitmix64(inc["user_id"].to_numpy().astype(np.uint64))
+        inc = inc.assign(hv=hv)
+        rows = []
+        for (kk, w), g in inc.groupby(["event_type", "window_start_s"]):
+            g = g.sort_values(["hv", "user_id"]).head(5)
+            for r_i, u in enumerate(g["user_id"], 1):
+                rows.append({"key": kk, "window_start_s": int(w),
+                             "item": int(u), "rank": r_i})
+        exp = pd.DataFrame(rows).sort_values(
+            ["key", "window_start_s", "rank"], ignore_index=True
+        ).astype({"window_start_s": np.int64, "item": np.int64,
+                  "rank": np.int64})
+        pd.testing.assert_frame_equal(
+            got[["key", "window_start_s", "item", "rank"]], exp
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
