@@ -59,7 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="stream kind: agg = windowed moment aggregates (default); "
         "hll = windowed approximate distinct; mg = windowed heavy hitters; "
         "kll = windowed quantile sketch; cms = windowed Count-Min "
-        "frequency estimates; bottomk = windowed deterministic sample; "
+        "frequency estimates; bottomk = windowed deterministic sample "
+        "(tumbling/hopping/session); "
         "cep = deadline-bounded funnels; "
         "dedup = first-occurrence exact dedup; asof = temporal join",
     )
@@ -135,13 +136,10 @@ def _specialized_driver(args):
     if args.driver == "bottomk":
         from raystat.streaming.sketch import BottomKStreamDriver
 
-        if args.session_gap is not None:
-            build_parser().error(
-                "--driver bottomk supports tumbling/hopping windows only"
-            )
         return BottomKStreamDriver(
             args.input, args.out, key=args.key, item=args.value,
             ts_col=args.ts_col, window_size_s=args.window, hop_s=args.hop,
+            session_gap_s=args.session_gap,
             allowed_lateness_s=args.lateness, n_partitions=args.partitions,
             batch_size=args.batch_size,
         )

@@ -5355,22 +5355,27 @@ def _q_streaming_sample_users(sf_dir):
     return t[["event_type", "window_start", "user_id", "rank"]]
 
 
-# splitmix64 chain over user_id (the doc-id chain of SPLITMIX_FULL_CTE,
-# re-rooted on the distinct (event_type, window, user) incidence)
-_SM_USER_CHAIN = f"""su0 AS (
-     SELECT event_type, window_start, user_id,
+def _sm_user_chain(carry: str, src: str) -> str:
+    """The SPLITMIX_FULL_CTE hash chain over ``user_id``, carrying the
+    given passthrough columns from CTE ``src`` into ``suf``."""
+    c = f"{carry}, user_id"
+    return f"""su0 AS (
+     SELECT {c},
        cast((cast(cast(user_id as bigint) as uhugeint) + 11400714819323198485)
             % {_SM_MOD} as ubigint) AS z
-     FROM b
-   ), su1 AS (SELECT event_type, window_start, user_id, xor(z, z >> 30) AS z FROM su0
-   ), su2 AS (SELECT event_type, window_start, user_id,
+     FROM {src}
+   ), su1 AS (SELECT {c}, xor(z, z >> 30) AS z FROM su0
+   ), su2 AS (SELECT {c},
        cast((cast(z as uhugeint) * 13787848793156543929) % {_SM_MOD} as ubigint) AS z
      FROM su1
-   ), su3 AS (SELECT event_type, window_start, user_id, xor(z, z >> 27) AS z FROM su2
-   ), su4 AS (SELECT event_type, window_start, user_id,
+   ), su3 AS (SELECT {c}, xor(z, z >> 27) AS z FROM su2
+   ), su4 AS (SELECT {c},
        cast((cast(z as uhugeint) * 10723151780598845931) % {_SM_MOD} as ubigint) AS z
      FROM su3
-   ), suf AS (SELECT event_type, window_start, user_id, xor(z, z >> 31) AS hv FROM su4)"""
+   ), suf AS (SELECT {c}, xor(z, z >> 31) AS hv FROM su4)"""
+
+
+_SM_USER_CHAIN = _sm_user_chain("event_type, window_start", "b")
 
 
 QUERIES.append(
@@ -5389,6 +5394,72 @@ QUERIES.append(
                   FROM suf)
             SELECT event_type, window_start, user_id, rank
             FROM r WHERE rank <= 5""",
+    )
+)
+
+
+def _q_streaming_session_samples(sf_dir):
+    """STREAMING SESSION-windowed deterministic sampling
+    (BottomKSessionStatePartition): per-(event_type, gap-rule session)
+    the k=5 distinct users with the smallest splitmix64(user_id).
+    The k-truncated min-union is the IDEMPOTENT case of the SESSION
+    merge contract (the HLL-registers case) — overlapping fragments
+    gap-merge by concatenate+dedup+re-truncate, so the sample per
+    session equals batch sessionization exactly.  Exact oracle
+    (boundaries AND rows), not a gate."""
+    import shutil
+    import tempfile
+
+    from raystat.streaming.sketch import (
+        BottomKStreamDriver,
+        events_stream_fixture,
+    )
+
+    fix = events_stream_fixture(sf_dir, n_epochs=4)
+    out = tempfile.mkdtemp(prefix="raystat_bksess_q_")
+    try:
+        drv = BottomKStreamDriver(
+            fix, out, key="event_type", item="user_id", ts_col="ts_us",
+            session_gap_s=_SESS_GAP_S, allowed_lateness_s=200 * 3600,
+            k=5, n_partitions=8,
+        )
+        drv.run()
+        t = drv.result_table().to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    t = t.rename(columns={"key": "event_type", "item": "user_id"})
+    return t[
+        ["event_type", "session_start_us", "session_end_us", "user_id", "rank"]
+    ]
+
+
+QUERIES.append(
+    QueryDef(
+        "streaming_session_samples",
+        _q_streaming_session_samples,
+        f"""WITH t AS (
+              SELECT event_type, user_id, epoch_us(ts) AS tu,
+                     lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), user_id) AS prev
+              FROM events
+            ), s AS (
+              SELECT *, sum(CASE WHEN prev IS NULL OR tu - prev > cast({_SESS_GAP_S} as bigint)*1000000
+                                 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY event_type ORDER BY tu, user_id ROWS UNBOUNDED PRECEDING) AS sess
+              FROM t
+            ), b0 AS (
+              SELECT event_type, sess, min(tu) AS session_start_us,
+                     max(tu) AS session_end_us
+              FROM s GROUP BY 1, 2
+            ), du AS (SELECT DISTINCT event_type, sess, user_id FROM s),
+            {_sm_user_chain("event_type, sess", "du")},
+            r AS (SELECT event_type, sess, user_id,
+                         row_number() OVER (
+                             PARTITION BY event_type, sess
+                             ORDER BY hv, user_id) AS rank
+                  FROM suf)
+            SELECT r.event_type, b0.session_start_us, b0.session_end_us,
+                   r.user_id, r.rank
+            FROM r JOIN b0 USING (event_type, sess) WHERE rank <= 5""",
     )
 )
 

@@ -2630,12 +2630,18 @@ class BottomKStreamDriver(EpochDriverBase):
     def __init__(self, input_dir: str, out_dir: str, *, key: str = "event_type",
                  item: str = "user_id", ts_col: str = "ts_us",
                  window_size_s: int = 86400, hop_s: int | None = None,
+                 session_gap_s: int | None = None,
                  allowed_lateness_s: int = 3600, k: int = 5,
                  n_partitions: int = 8, batch_size: int | None = None):
         super().__init__(input_dir, out_dir)
         self.key = key
         self.item = item
         self.ts_col = ts_col
+        self.session_gap_s = (
+            int(session_gap_s) if session_gap_s is not None else None
+        )
+        if self.session_gap_s is not None and hop_s is not None:
+            raise ValueError("session_gap_s and hop_s are mutually exclusive")
         self.size_s = int(window_size_s)
         self.hop_s = int(hop_s) if hop_s is not None else self.size_s
         if self.size_s % self.hop_s:
@@ -2649,10 +2655,18 @@ class BottomKStreamDriver(EpochDriverBase):
 
     def _ensure_actors(self):
         if self.actors is None:
-            self.actors = [
-                BottomKStatePartition.remote(p, self.size_s, self.k)
-                for p in range(self.n_partitions)
-            ]
+            if self.session_gap_s is not None:
+                self.actors = [
+                    BottomKSessionStatePartition.remote(
+                        p, self.session_gap_s, self.k
+                    )
+                    for p in range(self.n_partitions)
+                ]
+            else:
+                self.actors = [
+                    BottomKStatePartition.remote(p, self.size_s, self.k)
+                    for p in range(self.n_partitions)
+                ]
 
     def _driver_state(self) -> dict:
         return {"watermark_s": self.watermark_s,
@@ -2665,11 +2679,18 @@ class BottomKStreamDriver(EpochDriverBase):
         ds = self._epoch_dataset(epoch)
         em = {"rows_in": 0, "late_dropped": 0, "max_ts_us": -1}
         if ds is not None:
-            router = BottomKRouter(
-                self.actors, self.n_partitions, self.key, self.item,
-                self.ts_col, self.size_s, self.hop_s, self.watermark_s,
-                self.k,
-            )
+            if self.session_gap_s is not None:
+                router = BottomKSessionRouter(
+                    self.actors, self.n_partitions, self.key, self.item,
+                    self.ts_col, self.session_gap_s, self.watermark_s,
+                    self.k,
+                )
+            else:
+                router = BottomKRouter(
+                    self.actors, self.n_partitions, self.key, self.item,
+                    self.ts_col, self.size_s, self.hop_s, self.watermark_s,
+                    self.k,
+                )
             kwargs = {"batch_format": "pyarrow", "max_retries": 0,
                       "zero_copy_batch": True}
             if self.batch_size:
@@ -2696,10 +2717,14 @@ class BottomKStreamDriver(EpochDriverBase):
             )
             if t.num_rows
         ]
+        sort_by = (
+            ["key", "session_start_us", "rank"]
+            if self.session_gap_s is not None
+            else ["key", "window_start_s", "rank"]
+        )
         if tables:
             out = pa.concat_tables(tables)
-            self.sink.commit(epoch, out,
-                             sort_by=["key", "window_start_s", "rank"])
+            self.sink.commit(epoch, out, sort_by=sort_by)
         else:
             self.sink.commit(epoch, pa.table({}))
 
@@ -2712,3 +2737,286 @@ class BottomKStreamDriver(EpochDriverBase):
 
     def result_table(self) -> pa.Table:
         return self.sink.read_all()
+
+
+# -- Bottom-k session windows -------------------------------------------------
+
+
+def _bk_unpack(blob: bytes):
+    a = np.frombuffer(blob, dtype=np.uint64)
+    half = a.size // 2
+    return a[:half], a[half:].astype(np.int64)
+
+
+def _bk_pack(hv, items) -> bytes:
+    return np.concatenate(
+        [np.asarray(hv, dtype=np.uint64),
+         np.asarray(items, dtype=np.int64).view(np.uint64)]
+    ).tobytes()
+
+
+@ray.remote(num_cpus=0)
+class BottomKSessionStatePartition:
+    """SESSION-window bottom-k sample state for one key-hash
+    partition: open session fragments (key, start_us, end_us) -> one
+    <=k (hv, item) pair list.  The k-truncated min-union is the
+    IDEMPOTENT case of ksqlDB's SESSION merge contract (like the HLL
+    registers): gap-rule cluster merges concatenate pair lists, dedup
+    (hv, item) and re-truncate — overlapping or replayed fragments can
+    never change the sample.  Interval clustering is the moment path's
+    lexsort/cummax sweep; the per-cluster merge loop is bounded by
+    CLUSTER count (fragments per epoch), never rows."""
+
+    def __init__(self, pid: int, gap_s: int, k: int):
+        self.pid = pid
+        self.gap_us = int(gap_s) * 1_000_000
+        self.k = int(k)
+        self.pending: list[pa.Table] = []
+        self.keys: pd.DataFrame | None = None  # key, start_us, end_us
+        self.pairs: list | None = None  # aligned [(hv u64[], item i64[])]
+        self.error: str | None = None
+        self.metrics = {"partial_rows_in": 0, "ingests": 0, "sessions_closed": 0}
+
+    def ingest_count(self) -> int:
+        if self.error is not None:
+            raise RuntimeError(
+                f"bk-session partition {self.pid} ingest failed: {self.error}"
+            )
+        return self.metrics["ingests"]
+
+    def ingest(self, table: pa.Table) -> int:
+        try:
+            n = table.num_rows
+            if n:
+                self.pending.append(table)
+            self.metrics["partial_rows_in"] += n
+        except Exception as e:
+            self.error = repr(e)
+            n = 0
+        self.metrics["ingests"] += 1
+        return n
+
+    def _bk_merge(self, parts: list) -> tuple:
+        hv = np.concatenate([p[0] for p in parts])
+        items = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((items, hv))
+        hv, items = hv[order], items[order]
+        keep = np.ones(hv.size, dtype=bool)
+        keep[1:] = (hv[1:] != hv[:-1]) | (items[1:] != items[:-1])
+        return hv[keep][: self.k], items[keep][: self.k]
+
+    def _consolidate(self) -> None:
+        if not self.pending:
+            return
+        new = pa.concat_tables(self.pending)
+        self.pending = []
+        nk = new["key"].to_numpy(zero_copy_only=False)
+        ns = new["session_start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = new["session_end_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        npairs = [_bk_unpack(b) for b in new["bk"].to_pylist()]
+        if self.keys is not None and len(self.keys):
+            nk = np.concatenate([self.keys["key"].to_numpy(), nk])
+            ns = np.concatenate([self.keys["session_start_us"].to_numpy(), ns])
+            ne = np.concatenate([self.keys["session_end_us"].to_numpy(), ne])
+            npairs = self.pairs + npairs
+        codes, _ = pd.factorize(nk, sort=False)
+        order = np.lexsort((ns, codes))
+        c_s, s_s, e_s = codes[order], ns[order], ne[order]
+        cm = pd.Series(e_s).groupby(c_s).cummax().to_numpy()
+        n = c_s.size
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (c_s[1:] != c_s[:-1]) | (s_s[1:] - cm[:-1] > self.gap_us)
+        starts = np.flatnonzero(brk)
+        last = np.append(starts[1:], n) - 1
+        self.keys = pd.DataFrame(
+            {
+                "key": nk[order][starts],
+                "session_start_us": s_s[starts],
+                "session_end_us": cm[last].astype(np.int64),
+            }
+        )
+        bounds = np.append(starts, n)
+        self.pairs = [
+            self._bk_merge([npairs[j] for j in order[bounds[i]:bounds[i + 1]]])
+            for i in range(starts.size)
+        ]
+
+    def close_windows(self, watermark_s) -> pa.Table:
+        self._consolidate()
+        empty = pa.table(
+            {"key": pa.array([], pa.string()),
+             "session_start_us": pa.array([], pa.int64()),
+             "session_end_us": pa.array([], pa.int64()),
+             "item": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}
+        )
+        if self.keys is None or not len(self.keys):
+            return empty
+        wm_us = int(max(min(watermark_s * 1_000_000, 2**62), -(2**62)))
+        ends = self.keys["session_end_us"].to_numpy()
+        close = ends + self.gap_us <= wm_us
+        if not close.any():
+            return empty
+        rows = {"key": [], "session_start_us": [], "session_end_us": [],
+                "item": [], "rank": []}
+        for i in np.flatnonzero(close):
+            r = self.keys.iloc[i]
+            hv, items = self.pairs[i]
+            rows["key"].extend([r["key"]] * len(items))
+            rows["session_start_us"].extend([int(r["session_start_us"])] * len(items))
+            rows["session_end_us"].extend([int(r["session_end_us"])] * len(items))
+            rows["item"].extend(items.tolist())
+            rows["rank"].extend(range(1, len(items) + 1))
+        self.metrics["sessions_closed"] += int(close.sum())
+        self.pairs = [p for i, p in enumerate(self.pairs) if not close[i]]
+        self.keys = self.keys[~close].reset_index(drop=True)
+        return pa.table(
+            {"key": pa.array(rows["key"], pa.string()),
+             "session_start_us": pa.array(rows["session_start_us"], pa.int64()),
+             "session_end_us": pa.array(rows["session_end_us"], pa.int64()),
+             "item": pa.array(rows["item"], pa.int64()),
+             "rank": pa.array(rows["rank"], pa.int64())}
+        )
+
+    def get_metrics(self) -> dict:
+        self._consolidate()
+        return {"partition": self.pid,
+                "open_sessions": 0 if self.keys is None else int(len(self.keys)),
+                **self.metrics}
+
+    def snapshot(self, ckpt_dir: str, epoch: int) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._consolidate()
+        path = os.path.join(ckpt_dir, f"bksess-p{self.pid:04d}.parquet")
+        if self.keys is None or not len(self.keys):
+            t = pa.table(
+                {"key": pa.array([], pa.string()),
+                 "session_start_us": pa.array([], pa.int64()),
+                 "session_end_us": pa.array([], pa.int64()),
+                 "bk": pa.array([], pa.binary())}
+            )
+        else:
+            t = pa.table(
+                {"key": pa.array(self.keys["key"].tolist(), pa.string()),
+                 "session_start_us": pa.array(
+                     self.keys["session_start_us"].to_numpy(), pa.int64()),
+                 "session_end_us": pa.array(
+                     self.keys["session_end_us"].to_numpy(), pa.int64()),
+                 "bk": pa.array(
+                     [_bk_pack(h, it) for h, it in self.pairs], pa.binary())}
+            )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, ckpt_dir: str) -> int:
+        # metrics stay fresh (ingest barrier counts calls since restart)
+        path = os.path.join(ckpt_dir, f"bksess-p{self.pid:04d}.parquet")
+        self.pending = []
+        self.keys = None
+        self.pairs = None
+        if not os.path.exists(path):
+            return 0
+        t = pq.read_table(path)
+        if t.num_rows:
+            self.pending = [t]
+            self._consolidate()
+        return t.num_rows
+
+
+class BottomKSessionRouter:
+    """Session-fragment partial+route: within-batch fragments per key
+    (lexsort by (key, ts), split runs at gap), each carrying its
+    bottom-k of DISTINCT items.  Late drop is microsecond-granular
+    (ts_us > wm_us), matching the other session routers."""
+
+    def __init__(self, actors: list, n_partitions: int, key: str, item: str,
+                 ts_col: str, gap_s: int, watermark_s: int, k: int):
+        self.actors = actors
+        self.P = n_partitions
+        self.key = key
+        self.item = item
+        self.ts_col = ts_col
+        self.gap_us = int(gap_s) * 1_000_000
+        self.wm_us = int(max(min(watermark_s * 1_000_000, 2**62), -(2**62)))
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_in = batch.num_rows
+        ts_us = batch[self.ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        max_ts = int(ts_us.max()) if rows_in else -1
+        live = ts_us > self.wm_us
+        late = int(rows_in - live.sum())
+        calls = 0
+        idx = np.flatnonzero(live)
+        if idx.size:
+            kd = pc.dictionary_encode(
+                batch[self.key].combine_chunks().take(pa.array(idx))
+            )
+            codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            kdict = kd.dictionary.to_numpy(zero_copy_only=False)
+            items = (
+                batch[self.item].to_numpy(zero_copy_only=False)[idx]
+                .astype(np.int64)
+            )
+            tv = ts_us[idx]
+            order = np.lexsort((tv, codes))
+            c_s, t_s = codes[order], tv[order]
+            n = c_s.size
+            brk = np.ones(n, dtype=bool)
+            brk[1:] = (c_s[1:] != c_s[:-1]) | ((t_s[1:] - t_s[:-1]) > self.gap_us)
+            seg = np.cumsum(brk) - 1
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], n) - 1
+            # distinct (segment, item), then bottom-k per segment
+            it_s = items[order]
+            uit, icode = np.unique(it_s, return_inverse=True)
+            comp = seg * len(uit) + icode
+            ucomp = np.unique(comp)
+            g_of = ucomp // len(uit)
+            it_of = uit[ucomp % len(uit)].astype(np.int64)
+            hv = splitmix64(it_of.astype(np.uint64))
+            po = np.lexsort((it_of, hv, g_of))
+            gs = g_of[po]
+            st2 = np.flatnonzero(np.diff(gs, prepend=-1))
+            rank = np.arange(gs.size) - np.repeat(
+                st2, np.diff(np.append(st2, gs.size))
+            )
+            keep = po[rank < self.k]
+            frag_of = g_of[keep]
+            frags = {}
+            for j, fi in enumerate(frag_of):
+                frags.setdefault(int(fi), []).append(j)
+            fk, fs_, fe_, fb = [], [], [], []
+            for fi in sorted(frags):
+                sel = np.asarray(frags[fi])
+                fk.append(kdict[c_s[starts[fi]]])
+                fs_.append(int(t_s[starts[fi]]))
+                fe_.append(int(t_s[ends[fi]]))
+                fb.append(_bk_pack(hv[keep][sel], it_of[keep][sel]))
+            tbl = pa.table(
+                {"key": pa.array(fk, pa.string()),
+                 "session_start_us": pa.array(fs_, pa.int64()),
+                 "session_end_us": pa.array(fe_, pa.int64()),
+                 "bk": pa.array(fb, pa.binary())}
+            )
+            part = (
+                _key_u64(np.asarray(fk, dtype=object))
+                % np.uint64(self.P)
+            ).astype(np.int64)
+            po2 = np.argsort(part, kind="stable")
+            tbl = tbl.take(pa.array(po2))
+            sp = part[po2]
+            bounds = np.flatnonzero(np.diff(sp)) + 1
+            s_ = np.concatenate(([0], bounds))
+            e_ = np.concatenate((bounds, [sp.size]))
+            for s, e in zip(s_, e_):
+                self.actors[int(sp[s])].ingest.remote(tbl.slice(int(s), int(e - s)))
+                calls += 1
+        return pa.table(
+            {"max_ts_us": pa.array([max_ts], pa.int64()),
+             "late_dropped": pa.array([late], pa.int64()),
+             "rows_in": pa.array([rows_in], pa.int64()),
+             "ingest_calls": pa.array([calls], pa.int64())}
+        )

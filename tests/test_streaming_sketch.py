@@ -842,3 +842,46 @@ def test_bottomk_hopping_windows_cover_both(ray_session):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_bottomk_session_crash_resume_and_determinism(ray_session):
+    """Session bottom-k: gap-merged boundaries + samples equal a
+    re-run exactly, and crash/resume reproduces the reference run
+    (idempotent min-union makes overlapping fragment merges safe)."""
+    from raystat.streaming.sketch import BottomKStreamDriver
+
+    fix = events_stream_fixture(SF, n_epochs=4)
+    outs = []
+    try:
+        for _ in range(2):
+            out = tempfile.mkdtemp(prefix="rs_bks_")
+            outs.append(out)
+            BottomKStreamDriver(
+                fix, out, session_gap_s=_SESS_GAP,
+                allowed_lateness_s=LATENESS, k=5, n_partitions=4,
+            ).run()
+        cols = ["key", "session_start_us", "session_end_us", "item", "rank"]
+        a, b = (
+            BottomKStreamDriver(fix, o, session_gap_s=_SESS_GAP)
+            .sink.read_all().to_pandas()
+            .sort_values(["key", "session_start_us", "rank"],
+                         ignore_index=True)[cols]
+            for o in outs
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+        out2 = tempfile.mkdtemp(prefix="rs_bks_")
+        outs.append(out2)
+        kw = dict(session_gap_s=_SESS_GAP, allowed_lateness_s=LATENESS,
+                  k=5, n_partitions=4)
+        d1 = BottomKStreamDriver(fix, out2, **kw)
+        d1.run(stop_after_epoch=1)
+        d2 = BottomKStreamDriver(fix, out2, **kw)
+        d2.run(resume=True)
+        got = d2.result_table().to_pandas().sort_values(
+            ["key", "session_start_us", "rank"], ignore_index=True
+        )[cols]
+        pd.testing.assert_frame_equal(got, a)
+    finally:
+        for o in outs:
+            shutil.rmtree(o, ignore_errors=True)
