@@ -417,6 +417,11 @@ def main() -> None:
     t0 = time.time()
     _q_mixture_sample(SF_DIR).count()
     queries["mixture_sample_documents"] = round(time.time() - t0, 3)
+    from raystat.pipelines.queries import _q_streaming_sample_users
+
+    t0 = time.time()
+    _q_streaming_sample_users(SF_DIR)
+    queries["streaming_sample_users"] = round(time.time() - t0, 3)
 
     print(
         json.dumps(
