@@ -32,7 +32,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def write_fixture(root: str, n_rows: int, n_epochs: int = 4) -> None:
+def write_fixture(root: str, n_rows: int, n_epochs: int = 4,
+                  files_per_epoch: int = 8) -> None:
+    """Multiple part files per epoch: the engine's epoch reads are
+    capped at FILE COUNT to preserve read->route fusion, so a
+    single-file epoch would serialize the router regardless of CPUs —
+    real arrival directories have many parts."""
     rng = np.random.default_rng(42)
     per = n_rows // n_epochs
     base = 1_700_000_000_000_000
@@ -51,8 +56,14 @@ def write_fixture(root: str, n_rows: int, n_epochs: int = 4) -> None:
                 "ts_us": pa.array(ts),
             }
         )
-        pq.write_table(t, os.path.join(d, "part-0.parquet"),
-                       row_group_size=1_000_000)
+        step = (per + files_per_epoch - 1) // files_per_epoch
+        for f in range(files_per_epoch):
+            part = t.slice(f * step, step)
+            if part.num_rows:
+                pq.write_table(
+                    part, os.path.join(d, f"part-{f}.parquet"),
+                    row_group_size=250_000,
+                )
 
 
 def main() -> int:
