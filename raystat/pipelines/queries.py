@@ -4623,6 +4623,56 @@ QUERIES.extend(
 )
 
 
+def _q_props_stats(sf_dir):
+    """Semi-structured extraction over the ``props`` JSON column (the
+    ksqlDB JSON value-format story on the batch side): pull the ``k``
+    field with ONE vectorized Arrow RE2 kernel per batch (no per-row
+    json.loads in the hot path — the payload shape is fixed and RE2 is
+    the same C-vectorized route the PII/lang-id ops use), then a tiny
+    grouped integer aggregate.  Pure streaming: only (event_type, k)
+    survives into the O(groups) shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            batch["props"].combine_chunks(), r'"k":\s*(?P<k>-?\d+)'
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "k": pc.cast(pc.struct_field(m, "k"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "props_stats_events",
+        _q_props_stats,
+        """SELECT event_type, count(*) AS n,
+                  sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+           FROM (SELECT event_type,
+                        cast(json_extract_string(props, '$.k') as bigint) AS k
+                 FROM events)
+           GROUP BY event_type""",
+    )
+)
+
+
 def _q_cms_accuracy(sf_dir):
     """Count-Min frequency sketch (sketches.py grouped_cms) gated
     against exact distributed counts: per-event_type CMS from
